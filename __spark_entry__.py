@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Backed by the sfdc_cdc_aws_spark engine: every implemented operator
+from SURVEY.md §2 registers a (Spark builder, DuckDB oracle) pair in
+``sfdc_cdc_aws_spark.registry``; this module just exposes the
+registry in the driver's shape.
 """
 
 from __future__ import annotations
@@ -13,26 +12,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sfdc_cdc_aws_spark.registry import load_all
+
+FLAGSHIP = "cdc_latest_snapshot"
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is SURVEY.md §2.7's ``cdc_latest_snapshot`` — the
+    latest non-deleted record per Id over the CDC change feed, i.e.
+    the lake-side table the whole reference pipeline exists to
+    produce (README.md:3-5; UIND stamping app.py:102).
+    """
+    specs = load_all()
+    return specs[FLAGSHIP].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each hash-checkable query."""
+    return {
+        name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None
+    }

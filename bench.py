@@ -1,0 +1,62 @@
+"""Benchmark harness: run every registered query end-to-end at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE JSON
+line with per-query wall seconds.
+
+Execution is forced with the noop sink (full plan runs, nothing
+collected to the driver) — the honest analog of writing to a lake.
+Each query runs once warm (after a session-wide warmup) — rerun with
+SPARK_GRAFT_BENCH_REPEAT>1 for best-of-N.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from sfdc_cdc_aws_spark.registry import load_all
+from sfdc_cdc_aws_spark.session import get_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_session("bench")
+
+    specs = load_all()
+    # warmup: JIT + parquet footer caches, not measured
+    specs["cdc_latest_snapshot"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "master": spark.sparkContext.master,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Central query registry.
+
+Every operator the engine claims lands here as a named query:
+a Spark builder ``(spark, sf_dir) -> DataFrame`` plus (when the
+semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL
+string over the same parquet tables. ``__spark_entry__`` exposes the
+registry to the driver's correctness harness.
+
+Column names are the contract: the oracle comparison sorts columns by
+name before hashing values, so the Spark builder and the SQL must
+alias every computed column identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None for rows-only checks
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` as the named engine query."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query key: {name}")
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module so its @query decorators run."""
+    import importlib
+
+    for mod in (
+        "sfdc_cdc_aws_spark.operators.pipeline",
+        "sfdc_cdc_aws_spark.operators.relational",
+        "sfdc_cdc_aws_spark.operators.dedup",
+        "sfdc_cdc_aws_spark.operators.similarity",
+        "sfdc_cdc_aws_spark.operators.text",
+        "sfdc_cdc_aws_spark.operators.multimodal",
+    ):
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:  # module not built yet
+            pass
+    return QUERIES

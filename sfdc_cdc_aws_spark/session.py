@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test harness; the configs are chosen to also be the
+right defaults on a real cluster at 100 TB: AQE on (runtime join
+strategy + skew splitting + partition coalescing), shuffle partitions
+sized to cores locally (on a cluster this would be ~2-3x total cores
+or left to AQE), Arrow enabled for the Pandas-UDF path, UTC session
+timezone so results are oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "sfdc_cdc_aws_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Files at 100 TB: bound scan-task size so partitions fit memory.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS), which the
+        # parquet reader rejects; read it as a long and convert at load
+        # (sources/tables.py). Other tables use ms timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,59 @@
+"""Snapshot-table source: the engine's equivalent of the reference's
+SOQL access to live entity tables (worker/lambda/app.py:97-101) is a
+columnar parquet scan — Catalyst pushes filters and prunes columns
+into the scan, which is what replaces ``SELECT <fields> WHERE Id IN``
+at scale.
+
+Schema introspection (reference ``getObjectFields``, app.py:115-118)
+is ``spark.read.parquet(...).schema`` — resolved at plan time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# columns stored as TIMESTAMP(NANOS) in the driver's parquet; read as
+# long (session config spark.sql.legacy.parquet.nanosAsLong) and
+# converted to a microsecond timestamp here. Conversion cost: one div
+# in codegen. Caveat: predicates on the converted column no longer
+# reach parquet row-group stats — queries that need that pushdown at
+# scale should filter on the raw long (see bench notes).
+_NANOS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in _NANOS_COLS.get(name, ()):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def object_fields(spark: SparkSession, sf_dir: str, name: str) -> list[str]:
+    """Runtime schema discovery — the Spark analog of the reference's
+    ``describe()`` call (app.py:115-118): field names come from the
+    snapshot's parquet footer, not a compile-time schema.
+    """
+    return load_table(spark, sf_dir, name).schema.fieldNames()
