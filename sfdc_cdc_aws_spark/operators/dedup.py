@@ -1,0 +1,349 @@
+"""Deduplication operators over the ``documents`` table.
+
+The dedup family a training-data pipeline needs (SURVEY.md §2.9 /
+north-star): exact, MinHash+LSH, SimHash, and blocked n-gram Jaccard.
+Embedding-cosine near-dup lives in operators/similarity.py with the
+rest of the vector ops.
+
+Scale design notes, since dedup is the classic 100 TB trap:
+
+* Signatures (MinHash, SimHash, fingerprints) are computed **narrow**
+  — nested higher-order functions over the token array, zero shuffle,
+  zero Python. Only the tiny (doc_id, signature) relation shuffles.
+* Candidate generation is always **blocked** (LSH band buckets /
+  shingle blocks), never a cross join: cost is Σ bucket² instead of
+  n². Bucket skew is the residual risk — AQE skew-join handles
+  moderate skew; a pathological bucket (identical boilerplate docs)
+  would be salt-split in a production run.
+* Cross-engine determinism: all hashing goes through
+  ``text.shared_hash64`` (md5-derived 60-bit int) because Spark and
+  DuckDB ``hash()`` are different algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.operators.text import DUCK_HASH64, _DUCK_TOKENS, tokens_col
+from sfdc_cdc_aws_spark.sources import load_table
+
+P31 = 2_147_483_647  # Mersenne prime 2^31-1: keeps a*x+b inside int64
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _spark_hash31(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % P31
+
+
+_DUCK_HASH31 = f"({DUCK_HASH64} % {P31})"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "exact_dedup_docs",
+    oracle="""
+SELECT min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies,
+       min(n_chars) AS n_chars
+FROM documents
+GROUP BY md5(lower(trim(text)))
+""",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: group by content hash, keep the
+    lowest doc_id. Grouping by the md5 instead of the full text means
+    the shuffle carries 32-byte keys, not documents — the difference
+    between shuffling 100 TB and shuffling ~nothing."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("_h"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .drop("_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _word_shingles(n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the tokenized text (narrow)."""
+    t = tokens_col()
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+_DUCK_SHINGLES3 = (
+    f"list_distinct(list_transform(generate_series(1, len(t) - 2), "
+    f"i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig: array<bigint> of N_HASHES minhashes). Computed
+    entirely narrow: sig[i] = min over shingles of the i-th universal
+    hash (a_i*x + b_i) mod P of the shingle's 31-bit content hash."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(3)
+    hashed = F.transform(sh, lambda s: _spark_hash31(s))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hashed, lambda x: ((i * 31 + 17) * x + i * 7919 + 3) % P31
+            )
+        ),
+    )
+    return d.select("doc_id", sig.alias("sig")).where(
+        F.size(tokens_col()) >= 3
+    )
+
+
+_DUCK_SIG_CTE = f"""
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform({_DUCK_SHINGLES3},
+                        s -> {_DUCK_HASH31.format(expr='s')}) AS hs
+  FROM toks WHERE len(t) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {N_HASHES - 1}),
+                        i -> list_min(list_transform(hs,
+                             x -> ((i * 31 + 17) * x + i * 7919 + 3) % {P31}))) AS sig
+  FROM hashed
+)
+""".strip()
+
+
+@query(
+    "minhash_signature_probe",
+    oracle=f"""
+WITH {_DUCK_SIG_CTE}
+SELECT doc_id, sig[1] AS mh0, sig[8] AS mh7, sig[16] AS mh15 FROM sigs
+""",
+)
+def minhash_signature_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar probe of the MinHash signature (3 of 16 components) so
+    the oracle hash-checks the signature math itself, independent of
+    the LSH banding that consumes it."""
+    sig = minhash_signatures(spark, sf_dir)
+    return sig.select(
+        "doc_id",
+        F.element_at("sig", 1).alias("mh0"),
+        F.element_at("sig", 8).alias("mh7"),
+        F.element_at("sig", 16).alias("mh15"),
+    )
+
+
+@query(
+    "minhash_lsh_dedup",
+    oracle=f"""
+WITH {_DUCK_SIG_CTE},
+bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(sig[b * {ROWS_PER_BAND} + 1 : (b + 1) * {ROWS_PER_BAND}],
+                         '-') AS bucket
+  FROM sigs, unnest(generate_series(0, {N_BANDS - 1})) AS u(b)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash → LSH banding → bucket self-join: candidate near-dup
+    pairs without a cross join. 16 hashes in 4 bands of 4 ⇒ a pair
+    with Jaccard j collides with prob 1-(1-j⁴)⁴. The self-join runs on
+    (band_id, bucket) — at scale that is a shuffle of the small
+    signature relation only, with Σ bucket² bounded by band width."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_id"),
+    ).select(
+        "doc_id",
+        "band_id",
+        F.concat_ws(
+            "-", F.slice(F.col("sig"), F.col("band_id") * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+        ).alias("bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+N_SIMHASH_BITS = 16
+
+
+@query(
+    "simhash_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+hashed AS (
+  SELECT doc_id, list_transform(t, s -> {DUCK_HASH64.format(expr='s')}) AS hs
+  FROM toks WHERE len(t) > 0
+),
+sims AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(0, {N_SIMHASH_BITS - 1}),
+           j -> CASE WHEN list_sum(list_transform(hs,
+                         x -> ((x >> j) & 1) * 2 - 1)) > 0
+                THEN 1 << j ELSE 0 END))::BIGINT AS simhash
+  FROM hashed
+)
+SELECT doc_id, simhash,
+       count(*) OVER (PARTITION BY simhash) AS n_same
+FROM sims
+""",
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit): per bit j, sum ±1 votes of every token's
+    hash bit; the sign vector is the signature. Near-dups agree on
+    most bits; identical token multisets collide exactly. Narrow
+    nested-lambda computation, then one window to size each collision
+    group."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    hs = F.transform(
+        t, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    )
+    # nested higher-order aggregate with a per-bit shift: the Python
+    # shiftright/shiftleft wrappers require literal shift amounts, so
+    # the expression is written in SQL where lambda vars are allowed
+    simhash_sql = f"""
+    aggregate(
+      transform(sequence(0, {N_SIMHASH_BITS - 1}),
+        j -> CASE WHEN aggregate(hs, 0L,
+                       (acc, x) -> acc + ((shiftright(x, j) & 1) * 2 - 1)) > 0
+             THEN shiftleft(1L, j) ELSE 0L END),
+      0L, (acc, v) -> acc + v) AS simhash
+    """
+    sims = (
+        d.where(F.size(t) > 0)
+        .select("doc_id", hs.alias("hs"))
+        .selectExpr("doc_id", simhash_sql)
+    )
+    return sims.withColumn(
+        "n_same", F.count("*").over(Window.partitionBy("simhash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+JACCARD_MIN = 0.01
+
+
+@query(
+    "ngram_jaccard_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(generate_series(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+  FROM toks WHERE len(t) >= 4
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b
+    ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       round(CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.doc_a = s1.doc_id
+JOIN sizes s2 ON i.doc_b = s2.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common) >= {JACCARD_MIN}
+""",
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity with shingle-inverted-index blocking:
+    only documents sharing a (lang, word-4-gram) ever meet, so the
+    pair space is the inverted index's posting-list squares, not n².
+    Word 4-grams are rare enough that posting lists stay tiny; the
+    same plan with char shingles would need stop-shingle pruning."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.where(F.size(tokens_col()) >= 4)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(_word_shingles(4)).alias("s"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    return (
+        inter.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_b") == F.col("s2.doc_id"))
+        .where(jac >= JACCARD_MIN)
+        .select(
+            "doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard")
+        )
+    )

@@ -1,0 +1,168 @@
+"""Multimodal-column plumbing (SURVEY.md §2.9 / north-star).
+
+Media (image/audio/video) is modeled the way a 100 TB lake stores it:
+an opaque ``binary`` payload column plus typed metadata, processed by
+Arrow-batched ``mapInPandas`` operators so bytes never round-trip
+through Python row-at-a-time.
+
+This container has no image/audio codecs, so the actual decode is a
+clearly-marked stub (:func:`decode_media` raises NotImplementedError;
+the pipeline uses :func:`fake_decode_features`, a deterministic
+md5-based feature extractor). Everything Spark-side — the binary
+column construction, the metadata schema, the mapInPandas batch
+signature, the frame-sampling fan-out — is real and oracle-checked.
+
+The synthetic payload is ``encode(text, 'utf-8')`` from the documents
+table: deterministic bytes whose md5 both engines can compute, which
+is exactly what a content-addressed media lake keys on.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+
+_MIMES = ("image/png", "audio/wav", "video/mp4")
+
+
+def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
+    """Real codec hook (PIL / soundfile / av). Not available in this
+    container — STUB. A deployment would replace this with the actual
+    decoder; the batch plumbing around it does not change."""
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; "
+        "use fake_decode_features() for the deterministic test path"
+    )
+
+
+def fake_decode_features(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode+feature-extract: byte length
+    and a 32-bit content hash (md5 prefix) — reproducible in SQL so
+    the Arrow plumbing itself is hash-checkable."""
+    import hashlib
+
+    return len(payload), int(hashlib.md5(payload).hexdigest()[:8], 16)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media lake shape: (doc_id, mime, payload binary,
+    meta struct). The mime cycles deterministically over doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in _MIMES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        mime.alias("mime"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'audio/wav'
+                       ELSE 'video/mp4' END AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       lang
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The typed-metadata view of the binary media column — what a
+    catalog scan returns without touching payload bytes (column
+    pruning keeps the binary column out of the parquet read
+    entirely)."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id", "mime", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.lang").alias("lang")
+    )
+
+
+_FEATURES_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes bigint, content_hash32 bigint, n_frames bigint"
+)
+
+
+@query(
+    "media_features",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'audio/wav'
+                       ELSE 'video/mp4' END AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       ('0x' || substr(md5(text), 1, 8))::BIGINT AS content_hash32,
+       CASE WHEN doc_id % 3 = 2
+            THEN octet_length(encode(text)) // 100 + 1
+            ELSE 0 END AS n_frames
+FROM documents
+""",
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract over Arrow batches (``mapInPandas``):
+    one Python worker call per ~10k-row batch, payload bytes move via
+    Arrow, never per-row pickling. The feature fn is the deterministic
+    stub; swapping in a real codec changes one function, not the
+    plan. Videos get a fake frame count (bytes//100+1) to drive the
+    frame-sampling fan-out."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(fake_decode_features)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": feats.map(lambda t: t[0]),
+                    "content_hash32": feats.map(lambda t: t[1]),
+                }
+            )
+            out["n_frames"] = (out["n_bytes"] // 100 + 1).where(
+                out["mime"] == "video/mp4", 0
+            )
+            yield out
+
+    m = media_table(spark, sf_dir).select("doc_id", "mime", "payload")
+    return m.mapInPandas(extract, schema=_FEATURES_SCHEMA)
+
+
+@query(
+    "frame_sample",
+    oracle="""
+WITH vids AS (
+  SELECT doc_id, octet_length(encode(text)) // 100 + 1 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, unnest(generate_series(0, n_frames - 1, 10)) AS frame_no
+FROM vids
+""",
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 10th frame per video — the explode-style
+    fan-out a video pipeline runs before per-frame feature UDFs. The
+    sequence is generated engine-side (no Python)."""
+    feats = media_features(spark, sf_dir)
+    return (
+        feats.where(F.col("mime") == "video/mp4")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(10))
+            ).alias("frame_no"),
+        )
+    )

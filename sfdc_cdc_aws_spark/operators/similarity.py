@@ -1,0 +1,240 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.9).
+
+Three tiers, mirroring how a real vector pipeline scales:
+
+* ``topk_cosine_sim`` — brute-force exact top-k for a bounded query
+  set: broadcast the queries, stream the corpus once. Correctness
+  baseline; cost O(|Q|·n), fine because |Q| is fixed.
+* ``ann_ivf_topk`` — IVF (inverted-file) approximate search: assign
+  every vector to its nearest coarse centroid (one narrow pass +
+  small-key aggregate), probe the nprobe nearest cells per query.
+  Cost O(|Q|·n·nprobe/C). The centroid set here is a deterministic
+  stub (first C vectors) standing in for a k-means "training" step,
+  so the oracle can replay it; the plan shape is the real one.
+* ``embedding_neardup`` — near-duplicate pairs via the same IVF cell
+  blocking: only intra-cell pairs are scored, Σ cell² ≪ n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.functions.vector import DUCK_COSINE, cosine
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+
+N_QUERIES = 10  # bounded query set for brute force
+TOP_K = 10
+N_CENTROIDS = 16
+N_PROBE = 2
+NEARDUP_COS = 0.3  # driver embeddings are random; 0.3 ≈ 99.9th pct
+
+
+@query(
+    "topk_cosine_sim",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES})
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {DUCK_COSINE.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {DUCK_COSINE.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id) AS rnk
+  FROM q, embeddings c
+  WHERE c.vec_id <> q.vec_id
+) WHERE rnk <= {TOP_K}
+""",
+)
+def topk_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for the first
+    N_QUERIES vectors. The query side is broadcast; the corpus scans
+    once with the dot product fused into codegen — no shuffle until
+    the per-query top-k window over |Q|·k candidate rows.
+
+    No silent caps: the query set is explicitly vec_id < N_QUERIES;
+    the corpus side is NOT capped."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = cosine(F.col("q_emb"), F.col("embedding"))
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+# shared IVF assignment CTE (DuckDB): nearest of the first N_CENTROIDS
+# vectors, ties to the lower centroid id
+_DUCK_ASSIGN_CTE = f"""
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, label, embedding, cent_id FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {DUCK_COSINE.format(a='e.embedding', b='c.c_emb')} DESC,
+                      c.cent_id) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+)
+""".strip()
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, embedding, cent_id): nearest-centroid cell per
+    vector. Centroids broadcast; the argmax is a map-side ``max_by``
+    aggregate keyed on (rounded cos, -cent_id), not a window — the
+    corpus never sorts, and the shuffle carries one row per vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.where(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    cos = cosine(F.col("embedding"), F.col("c_emb"))
+    scored = e.crossJoin(cents).select(
+        "vec_id", "label", "embedding", "cent_id", cos.alias("cos")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.first("embedding").alias("embedding"),
+            F.max_by(
+                F.col("cent_id"), F.struct(F.col("cos"), (-F.col("cent_id")).alias("t"))
+            ).alias("cent_id"),
+        )
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH {_DUCK_ASSIGN_CTE},
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {DUCK_COSINE.format(a='q.embedding', b='c.c_emb')} DESC,
+                      c.cent_id) AS rn
+    FROM embeddings q, cents c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {DUCK_COSINE.format(a='q.embedding', b='a.embedding')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {DUCK_COSINE.format(a='q.embedding', b='a.embedding')} DESC,
+                    a.vec_id) AS rnk
+  FROM probes p
+  JOIN assign a ON a.cent_id = p.cent_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+) WHERE rnk <= {TOP_K}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: probe the N_PROBE nearest of N_CENTROIDS
+    cells per query and scan only those cells — the scale path where
+    brute force would read the whole corpus per query. Recall vs the
+    exact ``topk_cosine_sim`` is the quality metric (tested in
+    tests/test_similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = ivf_assignments(spark, sf_dir)
+    cents = F.broadcast(
+        e.where(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(cents)
+        .select(
+            "query_id",
+            "q_emb",
+            "cent_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wprobe))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "q_emb", "cent_id")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cent_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+WITH {_DUCK_ASSIGN_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cent_id AS cell,
+       {DUCK_COSINE.format(a='a.embedding', b='b.embedding')} AS cos_sim
+FROM assign a JOIN assign b
+  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+WHERE {DUCK_COSINE.format(a='a.embedding', b='b.embedding')} >= {NEARDUP_COS}
+""",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by IVF cell:
+    only intra-cell pairs are ever scored (Σ cell² work instead of
+    n²/2). Misses cross-cell near-dups by construction — the recall/
+    cost dial is N_CENTROIDS; multi-assignment (nprobe>1 on the index
+    side) would trade compute for recall."""
+    assign = ivf_assignments(spark, sf_dir)
+    a = assign.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("cent_id").alias("cell"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("cent_id").alias("cell_b"),
+    )
+    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .where(cos >= NEARDUP_COS)
+        .select("vec_a", "vec_b", "cell", cos.alias("cos_sim"))
+    )

@@ -1,0 +1,264 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Engine capabilities beyond the reference (SURVEY.md §2.9): a
+training-data pipeline needs tokenization, n-gram extraction,
+language identification, quality scoring, and fingerprinting as
+first-class, scalable operators. Everything here is built-in column
+expressions (whole-stage codegen, no Python in the hot path); the
+per-document work is embarrassingly parallel — no shuffle except the
+final token/ngram count aggregates, which combine map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+
+# one tokenizer, used everywhere: lowercase, split on non-word runs,
+# drop empties. DuckDB twin: list_filter(regexp_split_to_array(...)).
+TOKEN_SPLIT = r"\W+"
+_DUCK_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
+)
+
+
+def tokens_col(text: Column = None) -> Column:
+    text = F.col("text") if text is None else text
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda x: x != F.lit(""))
+
+
+def shared_hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash computable identically in Spark and
+    DuckDB: first 15 hex chars of md5. (Spark ``hash()`` and DuckDB
+    ``hash()`` are different algorithms, so cross-engine-checkable
+    operators hash through md5 instead.)"""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+DUCK_HASH64 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents)
+GROUP BY token
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequency: tokenize → explode → count. The explode
+    is narrow; only (token, partial count) rows shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "ngram_counts",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents)
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+)
+GROUP BY bigram
+""",
+)
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram counts via higher-order functions (sequence +
+    transform over the token array) — the n-gram machinery that also
+    feeds the MinHash shingles in operators/dedup.py."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "et", "les"),
+}
+
+
+def _duck_marker_count(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_DUCK_TOKENS}, x -> x IN ({lst})))"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_duck_marker_count(_LANG_MARKERS['en'])} AS n_en,
+         {_duck_marker_count(_LANG_MARKERS['de'])} AS n_de,
+         {_duck_marker_count(_LANG_MARKERS['es'])} AS n_es,
+         {_duck_marker_count(_LANG_MARKERS['fr'])} AS n_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN n_en + n_de + n_es + n_fr = 0 THEN 'und'
+            WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+            WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+            WHEN n_es >= n_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM scored
+""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stop-word-marker voting — the classic n-gram
+    heuristic reduced to a deterministic, fixed-precedence argmax so
+    the oracle can replay it. A production model would swap in a
+    fastText-style scorer behind the same (doc_id → pred_lang)
+    contract via a Pandas UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+
+    def marker_count(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(t, lambda x: x.isin(*words)))
+
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            marker_count(ws).alias(f"n_{lang}")
+            for lang, ws in _LANG_MARKERS.items()
+        ],
+    )
+    n = {k: F.col(f"n_{k}") for k in _LANG_MARKERS}
+    pred = (
+        F.when(n["en"] + n["de"] + n["es"] + n["fr"] == 0, "und")
+        .when((n["en"] >= n["de"]) & (n["en"] >= n["es"]) & (n["en"] >= n["fr"]), "en")
+        .when((n["de"] >= n["es"]) & (n["de"] >= n["fr"]), "de")
+        .when(n["es"] >= n["fr"], "es")
+        .otherwise("fr")
+    )
+    return scored.select("doc_id", "labeled_lang", pred.alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars, {_DUCK_TOKENS} AS toks,
+         length(text) AS len_chars,
+         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       len(toks) AS n_tokens,
+       CAST(n_punct AS DOUBLE) / len_chars AS punct_ratio,
+       CAST(len(list_filter(toks, x -> x IN {_STOPWORDS})) AS DOUBLE)
+         / len(toks) AS stopword_ratio,
+       CAST(len_chars AS DOUBLE) / len(toks) AS avg_token_chars
+FROM t WHERE len(toks) > 0
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: token count, punctuation ratio,
+    stop-word ratio, mean token length — the cheap filters a pretrain
+    pipeline applies before expensive dedup/scoring stages."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    len_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[a-z0-9\s]", ""))
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        t.alias("toks"),
+        len_chars.alias("len_chars"),
+        n_punct.alias("n_punct"),
+    ).where(F.size("toks") > 0)
+    return base.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.col("n_punct").cast("double") / F.col("len_chars")).alias("punct_ratio"),
+        (
+            F.size(F.filter(F.col("toks"), lambda x: x.isin(*_STOPWORDS))).cast(
+                "double"
+            )
+            / F.size("toks")
+        ).alias("stopword_ratio"),
+        (F.col("len_chars").cast("double") / F.size("toks")).alias("avg_token_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       len({_DUCK_TOKENS}) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe_tokens
+FROM documents
+""",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace-ish split and a BPE-ish
+    lexer regex (letter runs | digit runs | single symbols) — the
+    cheap proxy for "how many LLM tokens is this corpus"."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens_col()).cast("bigint").alias("n_ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(_BPE_RE)).cast("bigint").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       {DUCK_HASH64.format(expr="lower(trim(text))")} AS fingerprint,
+       substr(md5(lower(trim(text))), 1, 8) AS fp_prefix
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of the normalized text (md5 → 60-bit int) —
+    the join key for exact dedup across corpus shards; cheap to
+    compute, tiny to shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        shared_hash64(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("fp_prefix"),
+    )
