@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.operators.similarity",
         "sfdc_cdc_aws_spark.operators.text",
         "sfdc_cdc_aws_spark.operators.multimodal",
+        "sfdc_cdc_aws_spark.streaming.job",
     ):
         try:
             importlib.import_module(mod)

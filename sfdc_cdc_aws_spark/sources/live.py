@@ -1,0 +1,189 @@
+"""Live-edge connectors, re-expressed for Spark.
+
+Two pieces of the reference are *edges* rather than queries:
+
+* the Bayeux/CometD subscription with replay offsets
+  (EmpConnector.java:187-203, ReplayExtension.java:39-82) →
+  :class:`CDCWireDataSource`, a Python DataSource-API streaming
+  source whose offset IS the replayId, honoring the reference's
+  REPLAY_FROM_EARLIEST=-2 / REPLAY_FROM_TIP=-1 constants
+  (EmpConnector.java:103-104);
+* the batched SOQL enrichment loop (app.py:75-113: BATCH_SIZE chunks,
+  INTERVAL sleep) → :func:`soql_enrich`, an Arrow-batched
+  ``mapInPandas`` client that chunks ids per partition and calls a
+  pluggable fetch function — the real REST client in production, a
+  deterministic snapshot-backed fake in tests.
+
+Neither touches the network here; the seams where a live deployment
+plugs in credentials/endpoints are the ``fetch_fn`` callable and the
+landing-dir path option.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+REPLAY_FROM_EARLIEST = -2  # EmpConnector.java:103
+REPLAY_FROM_TIP = -1  # EmpConnector.java:104
+
+
+def _scan_landing(path: str) -> list[tuple[int, str, str]]:
+    """Read every wire record under the landing dir → sorted
+    [(replay_id, partitionKey, data)]. Driver-side helper for the
+    simple stream reader (the stub stands in for a server cursor)."""
+    rows: list[tuple[int, str, str]] = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".json"):
+            continue
+        with open(os.path.join(path, fname)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                import base64
+
+                env = json.loads(base64.b64decode(rec["data"]))
+                rows.append((int(env["event"]["replayId"]), rec["partitionKey"], rec["data"]))
+    rows.sort()
+    return rows
+
+
+try:  # the Python DataSource API needs pyspark >= 4
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _WireBatchReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def read(self, partition):
+            for replay_id, pk, data in _scan_landing(self.path):
+                yield (replay_id, pk, data)
+
+    class _WireStreamReader(SimpleDataSourceStreamReader):
+        """Offset = last replayId delivered — exactly the reference's
+        replay map (ReplayExtension.java:31-50). On (re)start the
+        initial offset comes from the ``replay_from`` option: -2 all
+        history, -1 only new events, or a concrete replayId."""
+
+        def __init__(self, options):
+            self.path = options["path"]
+            self.replay_from = int(options.get("replay_from", REPLAY_FROM_EARLIEST))
+
+        def initialOffset(self):
+            if self.replay_from == REPLAY_FROM_EARLIEST:
+                return {"replay_id": -1}
+            if self.replay_from == REPLAY_FROM_TIP:
+                rows = _scan_landing(self.path)
+                return {"replay_id": rows[-1][0] if rows else -1}
+            return {"replay_id": self.replay_from}
+
+        def read(self, start: dict):
+            last = start["replay_id"]
+            rows = [r for r in _scan_landing(self.path) if r[0] > last]
+            end = {"replay_id": rows[-1][0] if rows else last}
+            return iter(rows), end
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter(
+                r
+                for r in _scan_landing(self.path)
+                if start["replay_id"] < r[0] <= end["replay_id"]
+            )
+
+    class CDCWireDataSource(DataSource):
+        """``spark.read/readStream.format("cdc_wire")`` source for the
+        Kinesis-shaped wire records, with replayId-based resume."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "cdc_wire"
+
+        def schema(self) -> str:
+            return "replay_id bigint, partitionKey string, data string"
+
+        def reader(self, schema):
+            return _WireBatchReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return _WireStreamReader(self.options)
+
+    HAS_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - older pyspark
+    CDCWireDataSource = None  # type: ignore[assignment]
+    HAS_DATASOURCE_API = False
+
+
+def register_cdc_wire(spark: SparkSession) -> None:
+    if not HAS_DATASOURCE_API:  # pragma: no cover
+        raise NotImplementedError("Python DataSource API requires pyspark >= 4")
+    spark.dataSource.register(CDCWireDataSource)
+
+
+# ---------------------------------------------------------------------------
+# batched point-lookup client (S6 + T14 + T15 at the live edge)
+# ---------------------------------------------------------------------------
+
+FetchFn = Callable[[str, list[str]], pd.DataFrame]
+
+
+def snapshot_fetcher(snapshot_pdf: pd.DataFrame, id_col: str) -> FetchFn:
+    """Deterministic stand-in for the SOQL REST call: answers
+    ``SELECT <all fields> WHERE Id IN (...)`` from a local pandas
+    snapshot, exactly the contract of ``sf.query_all`` (app.py:97-99).
+    A production fetcher holds a REST session per executor (the Spark
+    analog of the Lambda's module-scope login, app.py:9-39)."""
+
+    def fetch(entity_name: str, ids: list[str]) -> pd.DataFrame:
+        return snapshot_pdf[snapshot_pdf[id_col].isin(ids)]
+
+    return fetch
+
+
+def soql_enrich(
+    changes_df: DataFrame,
+    fetch_fn: FetchFn,
+    result_schema: str,
+    batch_size: int = 50,  # worker/template.yaml:59
+    interval_s: float = 0.0,  # worker/template.yaml:60 (1s deployed)
+) -> DataFrame:
+    """The worker's enrichment loop as a distributed operator: within
+    each Arrow batch, dedup ids per entity, slice into ``batch_size``
+    chunks (app.py:75), call ``fetch_fn`` per chunk, optionally sleep
+    ``interval_s`` between calls (app.py:112-113), stamp ``UIND``
+    (app.py:102). Chunking/rate limiting exist to respect the remote
+    API — on parquet snapshots the broadcast join (T12) replaces this
+    entirely."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for entity, grp in pdf.groupby("entity_name"):
+                # one output row per change; each distinct id fetched once
+                # per batch (the reference's in-event dedup, app.py:65-72)
+                pairs = grp[["record_id", "uid", "change_type"]]
+                ids = pairs["uid"].drop_duplicates().tolist()
+                for i in range(0, len(ids), batch_size):
+                    chunk = ids[i : i + batch_size]
+                    fetched = fetch_fn(entity, chunk)
+                    if len(fetched):
+                        out = fetched.merge(
+                            pairs.rename(columns={"uid": "_uid"}),
+                            left_on=fetched.columns[0],
+                            right_on="_uid",
+                        ).drop(columns=["_uid"])
+                        out["UIND"] = out.pop("change_type")
+                        yield out
+                    if interval_s:
+                        time.sleep(interval_s)
+
+    return changes_df.mapInPandas(run, schema=result_schema)

@@ -1,0 +1,227 @@
+"""The CDC pipeline under Structured Streaming.
+
+Reference mapping (SURVEY.md §3.1-3.2): the subscriber's long-poll
+loop + Kinesis hop + Lambda micro-batches collapse into one streaming
+query —
+
+* landing dir of JSON wire records ≙ the Kinesis stream (one record =
+  ``{partitionKey, data(base64 envelope)}``, the exact Lambda input
+  shape, fixture event.json:6-8);
+* ``readStream`` + checkpoint ≙ ReplayExtension's replayId map
+  (ReplayExtension.java:39-82) — offsets persist, resume is automatic;
+* ``maxFilesPerTrigger`` ≙ Lambda BatchSize (template.yaml:68);
+* watermark + ``dropDuplicates`` ≙ the at-least-once tolerance
+  (SURVEY.md §1.5);
+* stream-static join against the snapshot ≙ the SOQL enrichment
+  (app.py:97-99);
+* ``foreachBatch`` parquet sink partitioned by entity ≙ Firehose→S3
+  under the entityName partition key (KinesisExample.java:108,
+  template.yaml:112).
+
+Batch and streaming share the same parse/transform functions, so the
+streaming answers are oracle-checked against the *batch* oracles —
+the strongest parity statement the harness can make.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sfdc_cdc_aws_spark.registry import QUERIES, query
+from sfdc_cdc_aws_spark.sources import load_table
+from sfdc_cdc_aws_spark.sources.cdc_feed import ENVELOPE_SCHEMA, envelopes
+
+WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("partitionKey", T.StringType()),
+        T.StructField("data", T.StringType()),  # base64 of envelope JSON
+    ]
+)
+
+
+def ensure_landing(spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_cdc_landing") -> str:
+    """Materialize the wire-format landing dir for a scale factor
+    (idempotent per process lifetime): one JSON line per CDC event,
+    shaped like a Kinesis record."""
+    name = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(base, name)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        env = envelopes(spark, sf_dir)
+        env.select(
+            F.col("partition_key").alias("partitionKey"), F.col("wire").alias("data")
+        ).write.mode("overwrite").json(out)
+    return out
+
+
+def parse_wire(df: DataFrame) -> DataFrame:
+    """Wire records → flat change feed. Works identically on a static
+    or streaming DataFrame — this is the single definition of the
+    decode→parse→extract→explode front half of the worker
+    (app.py:48-66), shared by both modes."""
+    env = F.from_json(F.unbase64(F.col("data")).cast("string"), ENVELOPE_SCHEMA)
+    h = env["payload"]["ChangeEventHeader"]
+    exploded = df.select(
+        h["entityName"].alias("entity_name"),
+        h["changeType"].alias("change_type"),
+        h["commitTimestamp"].alias("commit_ts_ms"),
+        env["event"]["replayId"].alias("replay_id"),
+        h["commitNumber"].alias("commit_number"),
+        F.explode(h["recordIds"]).alias("record_id"),
+    )
+    return exploded.withColumn(
+        "uid", F.substring("record_id", 4, 15).cast("bigint")
+    ).withColumn("commit_ts", F.timestamp_millis(F.col("commit_ts_ms")))
+
+
+def changes_stream(spark: SparkSession, landing: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """The streaming change feed: readStream over the landing dir,
+    watermarked 24h (≙ Kinesis retention, subscriber.yaml:39-40) and
+    deduped on the natural event identity within the watermark."""
+    reader = spark.readStream.schema(WIRE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    wire = reader.json(landing)
+    return (
+        parse_wire(wire)
+        .withWatermark("commit_ts", "24 hours")
+        .dropDuplicates(["replay_id", "record_id"])
+    )
+
+
+def enriched_union(ch: DataFrame, snapshot: DataFrame) -> DataFrame:
+    """Back half of the worker: DELETE tombstones ∪ enriched upserts
+    (app.py:77-94 vs :96-109). ``ch`` may be batch or streaming; the
+    snapshot side is static → Spark plans a stream-static broadcast
+    join, re-read per micro-batch."""
+    tombstones = ch.where(F.col("change_type") == "DELETE").select(
+        F.col("record_id").alias("id"),
+        F.col("entity_name").alias("type"),
+        F.lit("DELETE").alias("uind"),
+        "replay_id",
+    )
+    upserts = (
+        ch.where(F.col("change_type") != "DELETE")
+        .join(snapshot, F.col("uid") == snapshot["c_custkey"], "inner")
+        .select(
+            F.col("record_id").alias("id"),
+            F.col("entity_name").alias("type"),
+            F.col("change_type").alias("uind"),
+            "replay_id",
+            "c_name",
+            "c_acctbal",
+        )
+    )
+    return tombstones.unionByName(upserts, allowMissingColumns=True)
+
+
+def run_available_now(stream_df: DataFrame, name_prefix: str) -> DataFrame:
+    """Drain a streaming DataFrame to a memory sink with the
+    availableNow trigger (deterministic: processes everything, then
+    stops) and return the materialized result as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = f"/tmp/sfdc_cdc_ckpt/{qname}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def sink_to_lake(ch: DataFrame, snapshot: DataFrame, out_dir: str, checkpoint: str):
+    """Production-shaped sink: foreachBatch → parquet partitioned by
+    entity (≙ Firehose prefix + partition key), exactly-once via the
+    checkpoint + idempotent per-batch overwrite-by-partition."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            enriched_union(batch_df, snapshot)
+            .withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .partitionBy("type")
+            .parquet(out_dir)
+        )
+
+    return (
+        ch.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver-checkable streaming queries — same oracles as their batch twins
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_stream_latest",
+    oracle=None,  # set below: identical to cdc_latest_snapshot's oracle
+)
+def cdc_stream_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship materialization computed FROM THE STREAM: drain
+    the streaming change feed (readStream → watermark → dedup →
+    append memory sink), then take latest-per-key — byte-identical to
+    the batch ``cdc_latest_snapshot`` and checked against the same
+    oracle. This is the §5.5 batch≡stream parity property as a
+    driver-verified query."""
+    landing = ensure_landing(spark, sf_dir)
+    drained = run_available_now(changes_stream(spark, landing), "cdc_changes")
+    return (
+        drained.groupBy("entity_name", "uid")
+        .agg(
+            F.max_by(
+                F.struct("record_id", "change_type", "commit_ts_ms"),
+                F.struct("commit_ts_ms", "replay_id"),
+            ).alias("last")
+        )
+        .select(
+            "entity_name",
+            F.col("last.record_id").alias("record_id"),
+            F.col("last.change_type").alias("uind"),
+            F.col("last.commit_ts_ms").alias("commit_ts_ms"),
+        )
+        .where(F.col("uind") != "DELETE")
+    )
+
+
+@query(
+    "cdc_stream_pipeline",
+    oracle=None,  # set below: identical to union_branches' oracle
+)
+def cdc_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full worker output (tombstones ∪ enriched upserts) under
+    streaming execution with the stream-static enrichment join running
+    inside the micro-batches, checked against the batch oracle."""
+    landing = ensure_landing(spark, sf_dir)
+    snapshot = load_table(spark, sf_dir, "customer")
+    stream = enriched_union(changes_stream(spark, landing), snapshot)
+    return run_available_now(stream, "cdc_pipeline")
+
+
+def _borrow_oracles() -> None:
+    """Streaming queries reuse their batch twins' oracle SQL (frozen
+    dataclass → rebuild the registry entries)."""
+    from dataclasses import replace
+
+    import sfdc_cdc_aws_spark.operators.pipeline  # noqa: F401  (registers twins)
+
+    QUERIES["cdc_stream_latest"] = replace(
+        QUERIES["cdc_stream_latest"], oracle=QUERIES["cdc_latest_snapshot"].oracle
+    )
+    QUERIES["cdc_stream_pipeline"] = replace(
+        QUERIES["cdc_stream_pipeline"], oracle=QUERIES["union_branches"].oracle
+    )
+
+
+_borrow_oracles()

@@ -1,0 +1,84 @@
+"""Incremental latest-snapshot maintenance (the MERGE INTO analog).
+
+The lake view the reference promises its consumers — "latest full
+record per Id" (SURVEY.md §2.7) — maintained incrementally from the
+stream instead of recomputed: per micro-batch, reduce the batch to
+its latest-per-key rows, merge against the persisted state, and swap.
+
+Delta/Iceberg are not on this classpath (TESTDATA container), so the
+merge is emulated with the classic anti-join-free formulation:
+``union → max_by per key → atomic directory swap``. With Delta the
+``write`` below becomes ``MERGE INTO ... WHEN MATCHED UPDATE``, and
+file-level pruning replaces the full-state rewrite; the streaming
+side (checkpoint, foreachBatch, per-batch reduction) is unchanged.
+Tombstones stay IN the state (a later batch must not resurrect an
+older pre-delete row); readers filter ``uind <> 'DELETE'``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_KEY = ("entity_name", "uid")
+_ORDER = ("commit_ts_ms", "replay_id")
+
+
+def _latest_per_key(df: DataFrame) -> DataFrame:
+    payload = [c for c in df.columns if c not in _KEY]
+    return (
+        df.groupBy(*_KEY)
+        .agg(
+            F.max_by(F.struct(*payload), F.struct(*_ORDER)).alias("last")
+        )
+        .select(*_KEY, *[F.col(f"last.{c}").alias(c) for c in payload])
+    )
+
+
+class IncrementalSnapshot:
+    """Parquet-backed latest-per-key state with atomic swap updates."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.state_dir, "_SUCCESS"))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.state_dir)
+
+    def current(self) -> DataFrame:
+        """Consumer view: latest non-deleted record per key."""
+        return self.read().where(F.col("change_type") != "DELETE")
+
+    def upsert(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        # reduce the incoming batch before touching state: the merge
+        # input is (distinct keys in batch), not (rows in batch)
+        delta = _latest_per_key(batch_df)
+        merged = (
+            _latest_per_key(self.read().unionByName(delta)) if self.exists() else delta
+        )
+        tmp = f"{self.state_dir}__stage_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{self.state_dir}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.state_dir):
+            os.rename(self.state_dir, old)
+        os.rename(tmp, self.state_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    def attach(self, change_stream: DataFrame, checkpoint: str):
+        """Maintain the snapshot from a streaming change feed."""
+        return (
+            change_stream.writeStream.foreachBatch(
+                lambda df, epoch: self.upsert(df, epoch)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
