@@ -1,0 +1,270 @@
+"""Deeper analytic surface: window frames, cube/pivot, subqueries,
+sessionization, multi-join TPC-H-shaped reports.
+
+These extend SURVEY.md §2.9 — the operators an analyst points at the
+landed CDC lake. Everything keeps the float-determinism discipline of
+operators/relational.py (DECIMAL-cast inputs into sums; ranking on
+exact or rounded values with id tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+
+
+def _dec(col: str, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# window frames beyond ranking
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_frame_suite",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist,
+       first_value(o_orderkey) OVER w AS first_ok,
+       last_value(o_orderkey)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_frame_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / first+last value / sliding
+    3-row frame — the frame mechanics beyond plain ranking."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wall).alias("last_ok"),
+        F.sum(_dec("o_totalprice")).over(w3).cast("double").alias("window3_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cube + pivot
+# ---------------------------------------------------------------------------
+
+@query(
+    "cube_suite",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all four grouping combinations in one
+    expand+aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "pivot_suite",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def pivot_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns. The value list is explicit
+    (['O','F','P']) — at scale an implicit pivot would need a distinct
+    pass first; never do that silently."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(_dec("o_totalprice")).cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# subqueries
+# ---------------------------------------------------------------------------
+
+@query(
+    "subquery_suite",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+   OR o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+""",
+)
+def subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + IN subquery through the SQL API — Catalyst
+    rewrites the IN to a semi-join and the scalar to a broadcast
+    single-row relation (subquery decorrelation is free, SURVEY.md
+    §4). Thresholds use exact max, not avg, so the predicate boundary
+    is float-deterministic."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders_v)
+           OR o_custkey IN (SELECT c_custkey FROM customer_v WHERE c_acctbal < 0)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 60
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+WITH gaps AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_MIN} * 60 * 1000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM gaps
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + running sum of gap breaks) —
+    the batch formulation; streaming uses ``session_window`` with the
+    same gap (see streaming tests). One shuffle on user_id serves both
+    windows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)
+    new_session = F.when(gap_ms > SESSION_GAP_MIN * 60 * 1000, 1).otherwise(0)
+    return (
+        e.select("event_id", "user_id", "ts", new_session.alias("new_session"))
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select("event_id", "user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join reports
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q3_shipping",
+    oracle="""
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-06-30'
+  AND l_shipdate > TIMESTAMP '1999-06-30'
+GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
+    The customer dim filters to one segment and broadcasts; lineitem
+    (the 100 TB table) joins orders on its own key, so the only big
+    shuffle is the o_orderkey equi-join — which AQE can convert to
+    broadcast if the filtered orders side collapses. Top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-06-30").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1999-06-30").cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q10_returns",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-table join (two broadcast dims), revenue per
+    customer over returned items, top 20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

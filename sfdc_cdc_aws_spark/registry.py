@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
     for mod in (
         "sfdc_cdc_aws_spark.operators.pipeline",
         "sfdc_cdc_aws_spark.operators.relational",
+        "sfdc_cdc_aws_spark.operators.analytics",
         "sfdc_cdc_aws_spark.operators.dedup",
         "sfdc_cdc_aws_spark.operators.similarity",
         "sfdc_cdc_aws_spark.operators.text",
