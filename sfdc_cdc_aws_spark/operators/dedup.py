@@ -102,19 +102,31 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig: array<bigint> of N_HASHES minhashes). Computed
     entirely narrow: sig[i] = min over shingles of the i-th universal
     hash (a_i*x + b_i) mod P of the shingle's 31-bit content hash."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = _word_shingles(3)
-    hashed = F.transform(sh, lambda s: _spark_hash31(s))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda i: F.array_min(
+    d = load_table(spark, sf_dir, "documents", widen=True)
+    hashed = F.transform(_word_shingles(3), lambda s: _spark_hash31(s))
+    # One fold over the hashed shingles, updating all N_HASHES mins
+    # per element. The naive formulation — transform(sequence(0,15),
+    # i -> array_min(transform(hashed, affine_i))) — re-evaluates the
+    # md5 shingle hashing once per hash function (16x the dominant
+    # cost; a projection boundary doesn't help, CollapseProject
+    # re-inlines it). aggregate() evaluates its input array exactly
+    # once, so each shingle is md5-hashed once and then touched only
+    # by cheap integer affine maps.
+    sig = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(P31).cast("bigint"), N_HASHES),
+        lambda acc, x: F.zip_with(
+            acc,
             F.transform(
-                hashed, lambda x: ((i * 31 + 17) * x + i * 7919 + 3) % P31
-            )
+                F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+                lambda i: ((i * 31 + 17) * x + i * 7919 + 3) % P31,
+            ),
+            lambda m, v: F.least(m, v),
         ),
     )
-    return d.select("doc_id", sig.alias("sig")).where(
-        F.size(tokens_col()) >= 3
+    return (
+        d.where(F.size(tokens_col()) >= 3)
+        .select("doc_id", sig.alias("sig"))
     )
 
 
@@ -247,7 +259,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     group."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", widen=True)
     t = tokens_col()
     hs = F.transform(
         t, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
@@ -313,7 +325,7 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space is the inverted index's posting-list squares, not n².
     Word 4-grams are rare enough that posting lists stay tiny; the
     same plan with char shingles would need stop-shingle pruning."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", widen=True)
     sh = (
         d.where(F.size(tokens_col()) >= 4)
         .select(

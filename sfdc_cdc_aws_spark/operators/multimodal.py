@@ -54,6 +54,10 @@ def fake_decode_features(payload: bytes) -> tuple[int, int]:
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → media lake shape: (doc_id, mime, payload binary,
     meta struct). The mime cycles deterministically over doc_id."""
+    # widen=False: with the stub feature fn the per-row work is
+    # trivial, so fanning out to one Arrow batch per core costs more
+    # in Python-worker startup than it saves; a real codec (seconds
+    # per video) would flip this to widen=True.
     d = load_table(spark, sf_dir, "documents")
     mime = F.element_at(
         F.array(*[F.lit(m) for m in _MIMES]), (F.col("doc_id") % 3 + 1).cast("int")

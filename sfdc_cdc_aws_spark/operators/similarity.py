@@ -55,7 +55,7 @@ def topk_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No silent caps: the query set is explicitly vec_id < N_QUERIES;
     the corpus side is NOT capped."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", widen=True)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -104,7 +104,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector. Centroids broadcast; the argmax is a map-side ``max_by``
     aggregate keyed on (rounded cos, -cent_id), not a window — the
     corpus never sorts, and the shuffle carries one row per vector."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", widen=True)
     cents = F.broadcast(
         e.where(F.col("vec_id") < N_CENTROIDS).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")

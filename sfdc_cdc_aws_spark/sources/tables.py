@@ -42,12 +42,28 @@ def table_path(sf_dir: str, name: str) -> str:
 _NANOS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, widen: bool = False
+) -> DataFrame:
+    """Read a snapshot table.
+
+    ``widen=True`` requests full-core parallelism for CPU-bound
+    per-row compute (signature hashing, vector math): if the scan
+    yields fewer partitions than the cluster's parallelism — the
+    single-row-group small-file case — round-robin repartition it.
+    On a production multi-file table the condition is false and no
+    shuffle is added; compute-heavy callers opt in, scan-bound
+    queries never pay for it.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in _NANOS_COLS.get(name, ()):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if widen:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 
