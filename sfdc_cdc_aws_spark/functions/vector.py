@@ -32,6 +32,14 @@ def cosine(a: Column, b: Column) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), COS_SCALE)
 
 
+def cosine_prenorm(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with the per-vector norms precomputed *below* a join
+    boundary, so each pair costs one dot product instead of three
+    array folds. Same float association as :func:`cosine`
+    (``round(dot/(na*nb), 6)``) — hash-identical results."""
+    return F.round(dot(a, b) / (norm_a * norm_b), COS_SCALE)
+
+
 # DuckDB twin of cosine() — {a}/{b} are list-of-float SQL expressions
 DUCK_COSINE = (
     "round(list_cosine_similarity(CAST({a} AS DOUBLE[]), "

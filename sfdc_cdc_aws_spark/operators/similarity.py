@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sfdc_cdc_aws_spark.functions.vector import DUCK_COSINE, cosine
+from sfdc_cdc_aws_spark.functions.vector import (
+    DUCK_COSINE,
+    cosine,
+    cosine_prenorm,
+    norm,
+)
 from sfdc_cdc_aws_spark.registry import query
 from sfdc_cdc_aws_spark.sources import load_table
 
@@ -56,12 +61,21 @@ def topk_cosine_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     No silent caps: the query set is explicitly vec_id < N_QUERIES;
     the corpus side is NOT capped."""
     e = load_table(spark, sf_dir, "embeddings", widen=True)
+    # norms are computed once per vector BELOW the join (the join
+    # boundary stops CollapseProject from re-inlining them), so each
+    # of the |Q|*n candidate pairs costs one dot product, not three
+    # array folds
+    c = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_nrm"),
     )
-    cos = cosine(F.col("q_emb"), F.col("embedding"))
+    cos = cosine_prenorm(
+        F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+    )
     pairs = (
-        e.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -103,22 +117,33 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, embedding, cent_id): nearest-centroid cell per
     vector. Centroids broadcast; the argmax is a map-side ``max_by``
     aggregate keyed on (rounded cos, -cent_id), not a window — the
-    corpus never sorts, and the shuffle carries one row per vector."""
+    corpus never sorts, and the shuffle carries one row per vector.
+
+    The output keeps the per-vector norm (``nrm``) so downstream pair
+    scoring never recomputes it."""
     e = load_table(spark, sf_dir, "embeddings", widen=True)
+    en = e.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
     cents = F.broadcast(
         e.where(F.col("vec_id") < N_CENTROIDS).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            norm(F.col("embedding")).alias("c_nrm"),
         )
     )
-    cos = cosine(F.col("embedding"), F.col("c_emb"))
-    scored = e.crossJoin(cents).select(
-        "vec_id", "label", "embedding", "cent_id", cos.alias("cos")
+    cos = cosine_prenorm(
+        F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")
+    )
+    scored = en.crossJoin(cents).select(
+        "vec_id", "label", "embedding", "nrm", "cent_id", cos.alias("cos")
     )
     return (
         scored.groupBy("vec_id")
         .agg(
             F.first("label").alias("label"),
             F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
             F.max_by(
                 F.col("cent_id"), F.struct(F.col("cos"), (-F.col("cent_id")).alias("t"))
             ).alias("cent_id"),
@@ -168,7 +193,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_nrm"),
     )
     wprobe = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cent_id")
@@ -178,12 +205,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "q_emb",
+            "q_nrm",
             "cent_id",
             cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
         )
         .withColumn("rn", F.row_number().over(wprobe))
         .where(F.col("rn") <= N_PROBE)
-        .select("query_id", "q_emb", "cent_id")
+        .select("query_id", "q_emb", "q_nrm", "cent_id")
     )
     cand = (
         assign.join(F.broadcast(probes), "cent_id")
@@ -191,7 +219,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+            cosine_prenorm(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos_sim"),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(
@@ -225,14 +255,18 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = assign.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
         F.col("cent_id").alias("cell"),
     )
     b = assign.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
         F.col("cent_id").alias("cell_b"),
     )
-    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    cos = cosine_prenorm(
+        F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
+    )
     return (
         a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
         .where(cos >= NEARDUP_COS)

@@ -79,7 +79,7 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram counts via higher-order functions (sequence +
     transform over the token array) — the n-gram machinery that also
     feeds the MinHash shingles in operators/dedup.py."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", widen=True)
     t = tokens_col()
     bigrams = F.when(
         F.size(t) >= 2,
