@@ -1,0 +1,255 @@
+"""Second relational suite: grouping sets, correlated EXISTS, non-equi
+range joins, exact quantiles, skew-salted joins, and session windows.
+
+These round out the declared extension surface (SURVEY.md §2.9) with
+the plan shapes a 100 TB deployment leans on: expand-based grouping
+sets (one pass, no re-scan), semi/anti joins from decorrelated EXISTS,
+bin-pruned non-equi joins, and salting as the manual skew-join escape
+hatch AQE falls back to.
+
+Float discipline follows operators/relational.py: DECIMAL-cast inputs
+into sums, round() on interpolated quantiles, id tiebreaks on any
+ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+
+
+def _dec(col: str, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+@query(
+    "grouping_sets_suite",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) AS g_flag,
+       grouping(l_linestatus) AS g_status,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (each dimension alone + grand total) with
+    grouping() indicators — one Expand node feeding one aggregate, so
+    the fact table scans once regardless of how many sets are asked
+    for. Complements the rollup/cube queries."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "exists_subquery_suite",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F')
+""",
+)
+def exists_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — Catalyst decorrelates these to
+    a left-semi and a left-anti join on c_custkey (SURVEY.md §4:
+    subquery decorrelation is free). Both join the same key, so one
+    shuffle partitioning of customer serves both probes."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM orders_ex o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+N_BANDS_PRICE = 10
+BAND_WIDTH = 500.0
+
+
+@query(
+    "range_join_bands",
+    oracle=f"""
+WITH bands AS (
+  SELECT b AS band_id, b * {BAND_WIDTH} AS lo, (b + 1) * {BAND_WIDTH} AS hi
+  FROM unnest(generate_series(0, {N_BANDS_PRICE - 1})) AS t(b)
+)
+SELECT band_id, count(*) AS n_parts,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id
+""",
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: parts against half-open price bands. The
+    band table broadcasts, so the plan is BroadcastNestedLoopJoin over
+    a 10-row build side — the right physical choice for a tiny range
+    dimension. At a scale where the band table is large, the rewrite
+    is banding both sides on floor(price/width) to recover an
+    equi-join; this operator keeps the genuine non-equi form to
+    exercise that join surface."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.range(N_BANDS_PRICE).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * BAND_WIDTH).alias("lo"),
+        ((F.col("id") + 1) * BAND_WIDTH).alias("hi"),
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part["p_retailprice"] >= F.col("lo"))
+            & (part["p_retailprice"] < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(_dec("p_retailprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "quantile_suite",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS q25,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5),  6) AS q50,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS q75,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS median_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def quantile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``: both linear-interpolate between order
+    statistics). Exact percentile sorts within each group — at 100 TB
+    the scale path is ``approx_percentile`` (t-digest sketch, map-side
+    combinable), which has no cross-engine-identical twin and is
+    therefore benched but not hash-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.expr(
+        "percentile(CAST(l_quantity AS DOUBLE), array(0.25, 0.5, 0.75))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            q.alias("qs"),
+            F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").alias(
+                "mp"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("qs", 1), 6).alias("q25"),
+            F.round(F.element_at("qs", 2), 6).alias("q50"),
+            F.round(F.element_at("qs", 3), 6).alias("q75"),
+            F.round(F.col("mp"), 6).alias("median_price"),
+        )
+    )
+
+
+N_SALT = 8
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted fact-to-dim join: the probe side gets a
+    deterministic salt (l_linenumber % N_SALT), the build side is
+    replicated N_SALT ways, and the join key becomes (key, salt) — so
+    one pathologically hot orderkey spreads over N_SALT reducers
+    instead of stalling one. The salt never reaches the output; the
+    oracle is the plain join. This is the manual escape hatch for skew
+    beyond what AQE's skew-join splitting handles (SURVEY.md §4)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.col("l_linenumber") % N_SALT
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)))
+    )
+    return (
+        li.join(o, (li["l_orderkey"] == o["o_orderkey"]) & (li["salt"] == o["salt"]))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SESSION_GAP = "60 minutes"
+_GAP_MS = 60 * 60 * 1000
+
+
+@query(
+    "session_window_agg",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= {_GAP_MS}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id, min(epoch_ms(ts)) AS session_start_ms, count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` aggregation in batch mode (gap 60
+    min, end-exclusive: an event exactly gap-after the last starts a
+    new session). The oracle replays the same semantics with the
+    lag-gap formulation — proving the two sessionization styles the
+    engine offers (this one and ``sessionize_events``) agree. In
+    streaming the identical expression runs behind a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("sw.start").alias("session_start_ms"),
+            "n_events",
+        )
+    )
