@@ -119,17 +119,21 @@ def enriched_union(ch: DataFrame, snapshot: DataFrame) -> DataFrame:
     return tombstones.unionByName(upserts, allowMissingColumns=True)
 
 
-def run_available_now(stream_df: DataFrame, name_prefix: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, name_prefix: str, output_mode: str = "append"
+) -> DataFrame:
     """Drain a streaming DataFrame to a memory sink with the
     availableNow trigger (deterministic: processes everything, then
-    stops) and return the materialized result as a batch DataFrame."""
+    stops) and return the materialized result as a batch DataFrame.
+    ``output_mode="complete"`` for windowed aggregations whose final
+    windows would otherwise sit unemitted behind the watermark."""
     spark = stream_df.sparkSession
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = f"/tmp/sfdc_cdc_ckpt/{qname}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(qname)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -209,6 +213,81 @@ def cdc_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, "cdc_pipeline")
 
 
+@query(
+    "cdc_stream_tumbling",
+    oracle=None,  # set below from the shared CHANGES_CTE
+)
+def cdc_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling 60 s change counts computed ON THE STREAM:
+    watermark + ``window()`` aggregate — the Structured Streaming twin
+    of the batch ``tumbling_commit_counts`` (≙ the Firehose 60 s
+    buffer, worker/template.yaml:108-110), drained with complete
+    output so even windows newer than the watermark emit. Checked
+    against the batch oracle."""
+    landing = ensure_landing(spark, sf_dir)
+    wire = spark.readStream.schema(WIRE_SCHEMA).json(landing)
+    agg = (
+        parse_wire(wire)
+        .withWatermark("commit_ts", "24 hours")
+        .groupBy("entity_name", F.window("commit_ts", "60 seconds").alias("w"))
+        .agg(F.count("*").alias("n_changes"))
+        .select(
+            "entity_name",
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "n_changes",
+        )
+    )
+    return run_available_now(agg, "cdc_tumbling", output_mode="complete")
+
+
+def stateful_entity_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via
+    ``applyInPandasWithState``: a per-entity running change counter
+    whose state (one long per key) survives across micro-batches —
+    the engine's template for stateful logic the built-in aggregates
+    can't express (the Spark analog of the reference's replay map,
+    ReplayExtension.java:31-36, as user state). Emits the updated
+    count once per (entity, micro-batch); counts are monotone, so the
+    final value per entity is the max."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    landing = ensure_landing(spark, sf_dir)
+    wire = spark.readStream.schema(WIRE_SCHEMA).json(landing)
+    ch = parse_wire(wire)
+
+    def count_changes(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        import pandas as pd
+
+        yield pd.DataFrame({"entity_name": [key[0]], "n_changes": [n]})
+
+    updates = ch.groupBy("entity_name").applyInPandasWithState(
+        count_changes,
+        outputStructType="entity_name string, n_changes bigint",
+        stateStructType="n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_available_now(updates, "cdc_state_counter")
+    return drained.groupBy("entity_name").agg(
+        F.max("n_changes").alias("n_changes")
+    )
+
+
+@query(
+    "cdc_stream_stateful_counts",
+    oracle=None,  # set below: per-entity change counts from the shared CTE
+)
+def cdc_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable wrapper over :func:`stateful_entity_counter` —
+    the applyInPandasWithState path verified against the plain
+    group-count oracle."""
+    return stateful_entity_counter(spark, sf_dir)
+
+
 def _borrow_oracles() -> None:
     """Streaming queries reuse their batch twins' oracle SQL (frozen
     dataclass → rebuild the registry entries)."""
@@ -221,6 +300,27 @@ def _borrow_oracles() -> None:
     )
     QUERIES["cdc_stream_pipeline"] = replace(
         QUERIES["cdc_stream_pipeline"], oracle=QUERIES["union_branches"].oracle
+    )
+
+    from sfdc_cdc_aws_spark.sources.cdc_feed import CHANGES_CTE
+
+    QUERIES["cdc_stream_tumbling"] = replace(
+        QUERIES["cdc_stream_tumbling"],
+        oracle=f"""
+WITH {CHANGES_CTE}
+SELECT entity_name,
+       commit_ts_ms - commit_ts_ms % 60000 AS window_start_ms,
+       count(*) AS n_changes
+FROM changes GROUP BY 1, 2
+""",
+    )
+    QUERIES["cdc_stream_stateful_counts"] = replace(
+        QUERIES["cdc_stream_stateful_counts"],
+        oracle=f"""
+WITH {CHANGES_CTE}
+SELECT entity_name, count(*) AS n_changes
+FROM changes GROUP BY 1
+""",
     )
 
 

@@ -1,0 +1,98 @@
+"""Physical-plan shape assertions — the scale posture, verified.
+
+Correctness says the operators compute the right answer at sf0.001;
+these tests say the PLANS would survive 100 TB: filters reach the
+parquet scan, column pruning holds, small sides broadcast, aggregates
+combine map-side, and nothing silently degenerates to a cartesian
+product or an extra shuffle.
+"""
+
+from __future__ import annotations
+
+from sfdc_cdc_aws_spark.plans.introspect import (
+    codegen_stage_count,
+    exchange_count,
+    has_partial_aggregate,
+    join_kinds,
+    pushed_filters,
+    read_schemas,
+)
+from sfdc_cdc_aws_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+SPECS = load_all()
+
+
+def _df(spark, name):
+    return SPECS[name].fn(spark, SF)
+
+
+def test_flagship_partial_aggregate_single_shuffle(spark):
+    """cdc_latest_snapshot: max_by aggregate combines map-side and the
+    plan shuffles exactly once (on the group key)."""
+    df = _df(spark, "cdc_latest_snapshot")
+    assert has_partial_aggregate(df)
+    assert exchange_count(df) == 1
+
+
+def test_tpch_q3_broadcasts_dim_and_pushes_filters(spark):
+    """The selective customer dim must broadcast; the lineitem date
+    filter must reach the parquet scan."""
+    df = _df(spark, "tpch_q3_shipping")
+    assert "BroadcastHashJoin" in join_kinds(df)
+    assert "CartesianProduct" not in join_kinds(df)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_enrich_join_broadcasts_id_set(spark):
+    """The enrichment join's changed-id side is small by construction
+    (BATCH_SIZE slices) — it must broadcast, mirroring the bounded
+    SOQL IN-list (app.py:97)."""
+    df = _df(spark, "enrich_join")
+    assert "BroadcastHashJoin" in join_kinds(df)
+
+
+def test_token_counts_prunes_to_text_column(spark):
+    """text_token_counts projects one column; the documents scan must
+    read only it (plus nothing else) — column pruning reaching the
+    reader."""
+    df = _df(spark, "text_token_counts")
+    schemas = read_schemas(df)
+    assert schemas, "expected a parquet scan with ReadSchema"
+    assert all("text" in s for s in schemas)
+    assert all("doc_id" not in s for s in schemas)
+
+
+def test_replay_range_filter_pushed_to_scan(spark):
+    """The replay-offset range predicate must push through the feed
+    projection down to the events scan (partition/row-group pruning
+    at scale)."""
+    df = _df(spark, "replay_range_read")
+    assert any("event_id" in f for f in pushed_filters(df))
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    """A 10-row band table joined non-equi: broadcast nested loop is
+    the right physical plan — and never a plain cartesian product."""
+    df = _df(spark, "range_join_bands")
+    kinds = join_kinds(df)
+    assert "BroadcastNestedLoopJoin" in kinds
+    assert "CartesianProduct" not in kinds
+
+
+def test_exists_suite_decorrelates_to_semi_anti(spark):
+    """EXISTS / NOT EXISTS must decorrelate to semi/anti joins, not
+    per-row subquery execution."""
+    plan = _df(spark, "exists_subquery_suite")
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    text = plan_string(plan)
+    assert "LeftSemi" in text
+    assert "LeftAnti" in text
+
+
+def test_agg_suite_is_codegen(spark):
+    """The aggregation pipeline must run inside whole-stage codegen
+    spans (JVM-compiled, no interpreted rows)."""
+    assert codegen_stage_count(_df(spark, "agg_suite")) >= 1
