@@ -1,0 +1,41 @@
+"""Approximate aggregates have no cross-engine oracle (different
+sketch algorithms), so their correctness statement is an error bound
+against the exact answer computed in the same engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.registry import load_all
+from sfdc_cdc_aws_spark.sources import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_sketches_within_error_bounds(spark):
+    approx = {
+        r["l_returnflag"]: r
+        for r in load_all()["sketch_suite"].fn(spark, SF).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in (
+            load_table(spark, SF, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_partkey").alias("parts"),
+                F.expr(
+                    "percentile(CAST(l_quantity AS DOUBLE), array(0.25, 0.5, 0.75))"
+                ).alias("qs"),
+            )
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        # HLL++ default rsd is 5%; allow 3x margin
+        assert abs(a["approx_parts"] - e["parts"]) <= 0.15 * e["parts"]
+        # t-digest with accuracy 10000 on ~100k rows: near-exact quantiles
+        for got, want in zip((a["q25"], a["q50"], a["q75"]), e["qs"]):
+            assert abs(got - want) <= max(1.0, 0.05 * want)
