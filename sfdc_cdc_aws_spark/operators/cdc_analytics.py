@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sfdc_cdc_aws_spark.registry import query
-from sfdc_cdc_aws_spark.sources.cdc_feed import CHANGES_CTE, changes
+from sfdc_cdc_aws_spark.sources.cdc_feed import CHANGES_CTE, changes, envelopes
 
 
 @query(
@@ -91,6 +91,59 @@ def tumbling_commit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
             "n_ids",
         )
+    )
+
+
+@query(
+    "changed_fields_analysis",
+    oracle="""
+SELECT event_type AS entity_name, f.field, count(*) AS n_updates
+FROM events, unnest(['value', 'props']) AS f(field)
+WHERE event_id % 3 = 1
+GROUP BY 1, 2
+""",
+)
+def changed_fields_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which fields change how often, per entity — read from the
+    envelope's ``changedFields`` array (the header field the reference
+    receives but ignores, app.py:97 fetches all fields regardless).
+    Exercises array navigation through the nested envelope struct:
+    explode(payload.ChangeEventHeader.changedFields) on UPDATEs."""
+    env = envelopes(spark, sf_dir)
+    h = F.col("envelope.payload.ChangeEventHeader")
+    return (
+        env.where(h["changeType"] == "UPDATE")
+        .select(
+            h["entityName"].alias("entity_name"),
+            F.explode(h["changedFields"]).alias("field"),
+        )
+        .groupBy("entity_name", "field")
+        .agg(F.count("*").alias("n_updates"))
+    )
+
+
+@query(
+    "map_payload_extract",
+    oracle="""
+SELECT event_id AS replay_id, event_type AS entity_name, value
+FROM events
+WHERE event_id % 3 = 1
+""",
+)
+def map_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar extraction from the dynamic MapType payload — the
+    engine's answer to per-entity schemas unknown at compile time
+    (SURVEY.md §1.3): ``element_at(payload.fields, 'value')`` typed
+    with an explicit cast at the edge. The stringified double in the
+    map round-trips exactly (Java Double.toString preserves the bit
+    pattern), so the oracle compares the raw column row-for-row."""
+    env = envelopes(spark, sf_dir)
+    h = F.col("envelope.payload.ChangeEventHeader")
+    val = F.element_at(F.col("envelope.payload.fields"), "value")
+    return env.where(h["changeType"] == "UPDATE").select(
+        F.col("envelope.event.replayId").alias("replay_id"),
+        h["entityName"].alias("entity_name"),
+        val.cast("double").alias("value"),
     )
 
 

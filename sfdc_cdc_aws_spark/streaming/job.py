@@ -288,6 +288,35 @@ def cdc_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful_entity_counter(spark, sf_dir)
 
 
+@query(
+    "cdc_incremental_merge",
+    oracle=None,  # set below: the flagship oracle — incremental must equal batch
+)
+def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship snapshot maintained INCREMENTALLY: the change
+    stream is consumed in multiple micro-batches (maxFilesPerTrigger)
+    through foreachBatch MERGE upserts (streaming/merge.py), and the
+    resulting persisted state must hash-equal the one-shot batch
+    computation — the MERGE-INTO correctness statement, driver-checked
+    against cdc_latest_snapshot's oracle."""
+    from sfdc_cdc_aws_spark.streaming.merge import IncrementalSnapshot
+
+    landing = ensure_landing(spark, sf_dir)
+    run_id = uuid.uuid4().hex[:8]
+    snap = IncrementalSnapshot(spark, f"/tmp/sfdc_cdc_merge/{run_id}/state")
+    ch = changes_stream(spark, landing, max_files_per_trigger=8).select(
+        "entity_name", "uid", "record_id", "change_type", "commit_ts_ms", "replay_id"
+    )
+    q = snap.attach(ch, f"/tmp/sfdc_cdc_merge/{run_id}/ckpt")
+    q.awaitTermination()
+    return snap.current().select(
+        "entity_name",
+        "record_id",
+        F.col("change_type").alias("uind"),
+        "commit_ts_ms",
+    )
+
+
 def _borrow_oracles() -> None:
     """Streaming queries reuse their batch twins' oracle SQL (frozen
     dataclass → rebuild the registry entries)."""
@@ -313,6 +342,10 @@ SELECT entity_name,
        count(*) AS n_changes
 FROM changes GROUP BY 1, 2
 """,
+    )
+    QUERIES["cdc_incremental_merge"] = replace(
+        QUERIES["cdc_incremental_merge"],
+        oracle=QUERIES["cdc_latest_snapshot"].oracle,
     )
     QUERIES["cdc_stream_stateful_counts"] = replace(
         QUERIES["cdc_stream_stateful_counts"],
