@@ -207,16 +207,28 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-", F.slice(F.col("sig"), F.col("band_id") * ROWS_PER_BAND + 1, ROWS_PER_BAND)
         ).alias("bucket"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # group each bucket's (sorted) doc ids once, then emit intra-bucket
+    # pairs with higher-order functions — computes the signatures once
+    # and shuffles once, where a bucket self-join would evaluate the
+    # signature pipeline per side. Bucket membership lists are bounded
+    # by band width (Σ bucket² is the LSH cost either way); sorting
+    # makes (x, y) pairs satisfy doc_a < doc_b by construction.
+    ids = F.sort_array(F.collect_list("doc_id"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        bands.groupBy("band_id", "bucket")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
 
