@@ -172,21 +172,29 @@ def minhash_signature_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "minhash_lsh_dedup",
-    oracle=f"""
-WITH {_DUCK_SIG_CTE},
+_DUCK_LSH_PAIRS_CTE = f"""
+{_DUCK_SIG_CTE},
 bands AS (
   SELECT doc_id, b AS band_id,
          array_to_string(sig[b * {ROWS_PER_BAND} + 1 : (b + 1) * {ROWS_PER_BAND}],
                          '-') AS bucket
   FROM sigs, unnest(generate_series(0, {N_BANDS - 1})) AS u(b)
+),
+lsh_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       count(*) AS n_shared_bands
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+""".strip()
+
+
+@query(
+    "minhash_lsh_dedup",
+    oracle=f"""
+WITH {_DUCK_LSH_PAIRS_CTE}
+SELECT doc_a, doc_b, n_shared_bands FROM lsh_pairs
 """,
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,4 +378,135 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components over the LSH pair graph)
+# ---------------------------------------------------------------------------
+
+MAX_CC_ITERS = 15
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_LSH_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+),
+walk AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.src AS node, w.label
+  FROM edges e JOIN walk w ON e.dst = w.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM walk GROUP BY node
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the LSH candidate pairs: connected
+    components by iterative min-label propagation (the Pregel-style
+    loop GraphX/GraphFrames run), labels converging to the component's
+    minimum doc_id. The driver only coordinates convergence (a
+    per-iteration count on label changes — metadata, not data, crosses
+    the driver); each step is a shuffle join bounded by the edge list,
+    with ``localCheckpoint`` truncating the growing lineage. Iteration
+    count is bounded by component diameter — LSH near-dup clusters are
+    shallow, and the loop asserts convergence within MAX_CC_ITERS
+    rather than silently stopping early. The oracle replays the same
+    fixpoint as a recursive CTE."""
+    pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        # labels can only decrease, so an unchanged label-sum between
+        # iterations is a fixpoint — one cheap aggregate per step
+        # instead of a change-detection join
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ITERS} iterations"
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (cross-corpus n-gram overlap)
+# ---------------------------------------------------------------------------
+
+BENCH_DOC_MAX = 50  # doc_id < 50 plays the held-out benchmark set
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+  FROM toks WHERE len(t) >= 4
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < {BENCH_DOC_MAX})
+SELECT c.doc_id, count(*) AS n_hits
+FROM sh c JOIN bench b USING (s)
+WHERE c.doc_id >= {BENCH_DOC_MAX}
+GROUP BY c.doc_id
+""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: count, per corpus document, the
+    distinct word-4-grams it shares with a held-out benchmark set
+    (docs with doc_id < BENCH_DOC_MAX stand in for the eval suite).
+    The benchmark shingle set is small → broadcast to the corpus-side
+    shingle stream; at 100 TB the corpus shingles never shuffle, only
+    the per-doc hit counts do. Documents with any overlap are the
+    candidates a pretrain pipeline quarantines before training."""
+    d = load_table(spark, sf_dir, "documents", widen=True)
+    sh = d.where(F.size(tokens_col()) >= 4).select(
+        "doc_id", F.explode(_word_shingles(4)).alias("s")
+    )
+    bench = F.broadcast(
+        sh.where(F.col("doc_id") < BENCH_DOC_MAX).select("s").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") >= BENCH_DOC_MAX)
+        .join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
     )

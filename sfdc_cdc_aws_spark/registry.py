@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.operators.cdc_analytics",
         "sfdc_cdc_aws_spark.operators.relational2",
         "sfdc_cdc_aws_spark.operators.udfs",
+        "sfdc_cdc_aws_spark.operators.sinks",
         "sfdc_cdc_aws_spark.operators.dedup",
         "sfdc_cdc_aws_spark.operators.similarity",
         "sfdc_cdc_aws_spark.operators.text",
