@@ -253,7 +253,12 @@ def stateful_entity_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     landing = ensure_landing(spark, sf_dir)
     wire = spark.readStream.schema(WIRE_SCHEMA).json(landing)
-    ch = parse_wire(wire)
+    # pre-partition on the state key with a small partition count: the
+    # entity cardinality is tiny, and every state partition costs a
+    # state store + a Python worker per micro-batch. On a deployment
+    # with many keys this number scales with key cardinality, not
+    # with spark.sql.shuffle.partitions.
+    ch = parse_wire(wire).repartition(8, "entity_name")
 
     def count_changes(key, pdfs, state: GroupState):
         n = state.get[0] if state.exists else 0
