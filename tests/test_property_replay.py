@@ -1,0 +1,71 @@
+"""Property-based test (SURVEY.md §5 item 4): for ANY sequence of
+CREATE/UPDATE/DELETE changes, the engine's latest-per-key reduction
+must equal a sequential dictionary replay — the semantics the
+reference's downstream consumers assume (latest record per Id,
+tombstones excluded; README.md:16-20).
+
+The generator is the seeded, templated-row spirit of the reference's
+bulk-load helper (worker/helpers/bulk-load.py:55-65) driven by
+Hypothesis instead of hard-coded loops.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+CHANGE_TYPES = ("CREATE", "UPDATE", "DELETE")
+
+# one change: (key, change_type_idx); commit order = list position
+changes_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(0, 2)),
+    min_size=1,
+    max_size=60,
+)
+
+
+def replay_dict(seq):
+    """The spec: sequential replay, last writer wins, DELETE tombstones
+    suppress the key until a later non-DELETE change."""
+    state: dict[int, str] = {}
+    for pos, (key, ct_idx) in enumerate(seq):
+        state[key] = (CHANGE_TYPES[ct_idx], pos)
+    return {
+        k: (uind, pos)
+        for k, (uind, pos) in state.items()
+        if uind != "DELETE"
+    }
+
+
+@given(seq=changes_strategy)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_latest_snapshot_equals_sequential_replay(spark, seq):
+    rows = [
+        (key, CHANGE_TYPES[ct_idx], pos) for pos, (key, ct_idx) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "uid int, change_type string, replay_id int")
+    got = {
+        r["uid"]: (r["uind"], r["replay_id"])
+        for r in (
+            df.groupBy("uid")
+            .agg(
+                F.max_by(
+                    F.struct("change_type", "replay_id"), F.col("replay_id")
+                ).alias("last")
+            )
+            .select(
+                "uid",
+                F.col("last.change_type").alias("uind"),
+                F.col("last.replay_id").alias("replay_id"),
+            )
+            .where(F.col("uind") != "DELETE")
+            .collect()
+        )
+    }
+    assert got == replay_dict(seq)
