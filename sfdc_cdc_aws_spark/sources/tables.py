@@ -33,6 +33,22 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Correctness-critical runtime confs, enforced on WHATEVER session
+    the caller hands us (the driver harness builds its own): the
+    nanos-as-long flag keeps the TIMESTAMP(NANOS) events table
+    readable, and a UTC session timezone keeps every timestamp
+    rendering oracle-comparable. Both are runtime-settable SQL confs;
+    engine-owned sessions (session.py) already set them at build
+    time, so this is a no-op there."""
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        if spark.conf.get(key, None) != val:
+            spark.conf.set(key, val)
+
+
 # columns stored as TIMESTAMP(NANOS) in the driver's parquet; read as
 # long (session config spark.sql.legacy.parquet.nanosAsLong) and
 # converted to a microsecond timestamp here. Conversion cost: one div
@@ -57,6 +73,7 @@ def load_table(
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in _NANOS_COLS.get(name, ()):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
