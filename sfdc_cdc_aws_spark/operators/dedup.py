@@ -478,13 +478,15 @@ WITH toks AS (
 ),
 sh AS (
   SELECT doc_id,
-         unnest(list_distinct(list_transform(generate_series(1, len(t) - 3),
-                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+         unnest(list_transform(
+             list_distinct(list_transform(generate_series(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS h
   FROM toks WHERE len(t) >= 4
 ),
-bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < {BENCH_DOC_MAX})
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < {BENCH_DOC_MAX})
 SELECT c.doc_id, count(*) AS n_hits
-FROM sh c JOIN bench b USING (s)
+FROM sh c JOIN bench b USING (h)
 WHERE c.doc_id >= {BENCH_DOC_MAX}
 GROUP BY c.doc_id
 """,
@@ -493,20 +495,27 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: count, per corpus document, the
     distinct word-4-grams it shares with a held-out benchmark set
     (docs with doc_id < BENCH_DOC_MAX stand in for the eval suite).
-    The benchmark shingle set is small → broadcast to the corpus-side
-    shingle stream; at 100 TB the corpus shingles never shuffle, only
+    Shingles are hashed to 64-bit ints BEFORE the join — the broadcast
+    set and the equality probes carry 8 bytes instead of full n-gram
+    strings (both engines hash through md5, so even a collision counts
+    identically). At 100 TB the corpus shingles never shuffle, only
     the per-doc hit counts do. Documents with any overlap are the
     candidates a pretrain pipeline quarantines before training."""
+    from sfdc_cdc_aws_spark.operators.text import shared_hash64
+
     d = load_table(spark, sf_dir, "documents", widen=True)
     sh = d.where(F.size(tokens_col()) >= 4).select(
-        "doc_id", F.explode(_word_shingles(4)).alias("s")
+        "doc_id",
+        F.explode(
+            F.transform(_word_shingles(4), lambda g: shared_hash64(g))
+        ).alias("h"),
     )
     bench = F.broadcast(
-        sh.where(F.col("doc_id") < BENCH_DOC_MAX).select("s").distinct()
+        sh.where(F.col("doc_id") < BENCH_DOC_MAX).select("h").distinct()
     )
     return (
         sh.where(F.col("doc_id") >= BENCH_DOC_MAX)
-        .join(bench, "s")
+        .join(bench, "h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )

@@ -253,3 +253,64 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "null_handling_suite",
+    oracle="""
+SELECT c_custkey,
+       nullif(c_acctbal, 0.0) AS bal_or_null,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+       CASE WHEN nullif(c_acctbal, 0.0) IS NULL THEN -1.0
+            ELSE round(greatest(c_acctbal, 100.0), 2) END AS floored,
+       (c_acctbal IS NOT NULL AND c_acctbal < 0) AS overdrawn
+FROM customer
+""",
+)
+def null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics end-to-end: nullif/coalesce/greatest plus a
+    three-valued-logic predicate — null propagation must agree with
+    ANSI across engines (nulls sort/hash as the literal string 'None'
+    in the comparator, so any divergence is caught)."""
+    c = load_table(spark, sf_dir, "customer")
+    bal_or_null = F.nullif(F.col("c_acctbal"), F.lit(0.0))
+    return c.select(
+        "c_custkey",
+        bal_or_null.alias("bal_or_null"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_masked"),
+        F.when(bal_or_null.isNull(), F.lit(-1.0))
+        .otherwise(F.round(F.greatest(F.col("c_acctbal"), F.lit(100.0)), 2))
+        .alias("floored"),
+        (F.col("c_acctbal").isNotNull() & (F.col("c_acctbal") < 0)).alias(
+            "overdrawn"
+        ),
+    )
+
+
+@query(
+    "outer_join_suite",
+    oracle="""
+SELECT n.n_name,
+       s.s_suppkey,
+       coalesce(s.s_name, '<no supplier>') AS supplier_name
+FROM nation n
+FULL OUTER JOIN (SELECT * FROM supplier WHERE s_acctbal > 1000) s
+  ON n.n_nationkey = s.s_nationkey
+""",
+)
+def outer_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with an unmatched-side filter: nations with no
+    qualifying supplier keep a NULL supplier side, qualifying suppliers
+    always appear. Completes the join-type surface next to
+    join_suite's inner/left/semi/anti. Note a full outer cannot
+    broadcast — Spark must plan a shuffle join on the key, which the
+    plan tests can assert."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 1000)
+    return n.join(s, n["n_nationkey"] == s["s_nationkey"], "full_outer").select(
+        "n_name",
+        "s_suppkey",
+        F.coalesce(F.col("s_name"), F.lit("<no supplier>")).alias("supplier_name"),
+    )
