@@ -26,7 +26,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sfdc_cdc_aws_spark.registry import query
-from sfdc_cdc_aws_spark.operators.text import DUCK_HASH64, _DUCK_TOKENS, tokens_col
+from sfdc_cdc_aws_spark.operators.text import (
+    DUCK_HASH64,
+    _DUCK_TOKENS,
+    shared_hash64,
+    tokens_col,
+)
 from sfdc_cdc_aws_spark.sources import load_table
 
 P31 = 2_147_483_647  # Mersenne prime 2^31-1: keeps a*x+b inside int64
@@ -320,15 +325,17 @@ WITH toks AS (
 ),
 sh AS (
   SELECT doc_id, lang,
-         unnest(list_distinct(list_transform(generate_series(1, len(t) - 3),
-                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+         unnest(list_transform(
+             list_distinct(list_transform(generate_series(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS h
   FROM toks WHERE len(t) >= 4
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM sh a JOIN sh b
-    ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+    ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b, i.n_common,
@@ -343,27 +350,36 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard similarity with shingle-inverted-index blocking:
     only documents sharing a (lang, word-4-gram) ever meet, so the
     pair space is the inverted index's posting-list squares, not n².
-    Word 4-grams are rare enough that posting lists stay tiny; the
-    same plan with char shingles would need stop-shingle pruning."""
+    Shingles are hashed to 64-bit ints at birth (8-byte shuffle keys);
+    the index groups each (lang, shingle) posting list once and emits
+    intra-list pairs — the shingle pipeline evaluates once, where a
+    shingle-stream self-join would evaluate it per join side. The
+    self-join formulation remains in the oracle as the semantic spec."""
     d = load_table(spark, sf_dir, "documents", widen=True)
-    sh = (
-        d.where(F.size(tokens_col()) >= 4)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(_word_shingles(4)).alias("s"),
-        )
+    sh = d.where(F.size(tokens_col()) >= 4).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(_word_shingles(4), lambda g: shared_hash64(g))
+        ).alias("h"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ids = F.sort_array(F.collect_list("doc_id"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    inter = (
+        sh.groupBy("lang", "h")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     s1 = sizes.alias("s1")
