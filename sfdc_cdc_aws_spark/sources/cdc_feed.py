@@ -99,8 +99,12 @@ def envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON — the shape of a Kinesis record's ``data`` field,
     fixture event.json:8), ``partition_key`` (= entityName, the
     Kinesis partition key, KinesisExample.java:108).
+
+    widen: building the wire form is CPU-bound per event (struct →
+    JSON → base64, plus the md5 transactionKey), so the single-row-
+    group local file gets full-core parallelism.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", widen=True)
     second_id = F.format_string(ID_FMT, F.col("user_id") + F.lit(1_000_000))
     header = F.struct(
         F.col("event_id").alias("commitNumber"),
