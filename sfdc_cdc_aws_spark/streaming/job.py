@@ -26,6 +26,7 @@ the strongest parity statement the harness can make.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -139,7 +140,14 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
-    return spark.table(qname)
+    # detach the result from the memory sink so repeated drains don't
+    # accumulate sink state/views in the session: materialize once
+    # (eager localCheckpoint), then drop the sink's temp view and its
+    # checkpoint dir
+    result = spark.table(qname).localCheckpoint()
+    spark.catalog.dropTempView(qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
 
 
 def sink_to_lake(ch: DataFrame, snapshot: DataFrame, out_dir: str, checkpoint: str):
