@@ -314,3 +314,144 @@ def outer_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         F.coalesce(F.col("s_name"), F.lit("<no supplier>")).alias("supplier_name"),
     )
+
+
+@query(
+    "array_fn_suite",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       list_contains(t, 'the') AS has_the,
+       CAST(coalesce(list_position(t, 'the'), 0) AS BIGINT) AS pos_the,
+       array_to_string(t[1:3], ',') AS first3,
+       array_to_string(list_sort(t)[1:3], ',') AS sorted3,
+       list_has_any(t, ['the', 'and']) AS has_stop
+FROM toks
+""",
+)
+def array_fn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the token arrays: size / contains /
+    position / slice / sort / overlap — the collection ops the dedup
+    and text pipelines compose, exposed as a directly-checkable suite.
+    (Spark's array_position returns 0 for missing; the oracle
+    coalesces DuckDB's NULL to match.)"""
+    from sfdc_cdc_aws_spark.operators.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    return d.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.array_contains(t, "the").alias("has_the"),
+        F.array_position(t, "the").alias("pos_the"),
+        F.array_join(F.slice(t, 1, 3), ",").alias("first3"),
+        F.array_join(F.slice(F.sort_array(t), 1, 3), ",").alias("sorted3"),
+        F.arrays_overlap(t, F.array(F.lit("the"), F.lit("and"))).alias("has_stop"),
+    )
+
+
+@query(
+    "regexp_suite",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       len(regexp_extract_all(p_name, '\\w+')) AS n_words,
+       length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS n_chars_novowel
+FROM part
+""",
+)
+def regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface beyond string_fn_suite: anchored group extraction,
+    extract-all cardinality, global class replacement. All JVM-side
+    codegen — regexes never fall back to Python."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit(r"(\w+)"))).cast(
+            "bigint"
+        ).alias("n_words"),
+        F.length(F.regexp_replace(F.col("p_name"), "[aeiou]", "")).alias(
+            "n_chars_novowel"
+        ),
+    )
+
+
+@query(
+    "date_spine_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM bounds
+),
+rev AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(s.m AS DATE) AS month_start,
+       coalesce(r.revenue, 0.0) AS revenue,
+       coalesce(r.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN rev r ON r.m = s.m
+""",
+)
+def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: generate every month between the data's
+    bounds (``sequence`` of timestamps — engine-side, no Python) and
+    left-join the monthly aggregate so empty months surface as zeros.
+    The spine is one row per month — broadcast side; the aggregate
+    side shuffles only (month, partial sums)."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.select(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("m")
+    )
+    rev = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m")).agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return spine.join(rev, "m", "left").select(
+        F.col("m").cast("date").alias("month_start"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@query(
+    "range_window_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       count(*) OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(o_totalprice AS DOUBLE)
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+         AS n_similar_spend
+FROM orders
+""",
+)
+def range_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, vs window_frame_suite's
+    row-based frames): per customer, how many orders fall within 1000
+    of this order's price, at or below it. Value frames are
+    tie-insensitive, so no id tiebreak is needed for determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        """count(*) OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(o_totalprice AS DOUBLE)
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+           AS n_similar_spend""",
+    )

@@ -330,6 +330,45 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_stream_stream_join",
+    oracle=None,  # set below from the shared CHANGES_CTE
+)
+def cdc_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join: CREATE changes joined to UPDATE
+    changes of the same key arriving within the following hour — both
+    sides unbounded, so Spark buffers each side in watermarked state
+    and the event-time bound lets it evict (without the time
+    constraint the state would grow forever). This is the
+    Structured Streaming capability the other queries don't touch;
+    checked against the equivalent batch self-join oracle."""
+    landing = ensure_landing(spark, sf_dir)
+
+    def side(change_type: str, prefix: str) -> DataFrame:
+        wire = spark.readStream.schema(WIRE_SCHEMA).json(landing)
+        ch = parse_wire(wire).where(F.col("change_type") == change_type)
+        return ch.select(
+            F.col("uid").alias(f"{prefix}_uid"),
+            F.col("replay_id").alias(f"{prefix}_replay"),
+            F.col("commit_ts").alias(f"{prefix}_ts"),
+        ).withWatermark(f"{prefix}_ts", "24 hours")
+
+    creates = side("CREATE", "c")
+    updates = side("UPDATE", "u")
+    joined = creates.join(
+        updates,
+        (F.col("c_uid") == F.col("u_uid"))
+        & (F.col("u_ts") >= F.col("c_ts"))
+        & (F.col("u_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+        "inner",
+    ).select(
+        F.col("c_uid").alias("uid"),
+        "c_replay",
+        "u_replay",
+    )
+    return run_available_now(joined, "cdc_ss_join")
+
+
 def _borrow_oracles() -> None:
     """Streaming queries reuse their batch twins' oracle SQL (frozen
     dataclass → rebuild the registry entries)."""
@@ -359,6 +398,18 @@ FROM changes GROUP BY 1, 2
     QUERIES["cdc_incremental_merge"] = replace(
         QUERIES["cdc_incremental_merge"],
         oracle=QUERIES["cdc_latest_snapshot"].oracle,
+    )
+    QUERIES["cdc_stream_stream_join"] = replace(
+        QUERIES["cdc_stream_stream_join"],
+        oracle=f"""
+WITH {CHANGES_CTE}
+SELECT a.uid, a.replay_id AS c_replay, b.replay_id AS u_replay
+FROM changes a JOIN changes b
+  ON a.uid = b.uid
+ AND a.change_type = 'CREATE' AND b.change_type = 'UPDATE'
+ AND b.commit_ts_ms >= a.commit_ts_ms
+ AND b.commit_ts_ms <= a.commit_ts_ms + 3600000
+""",
     )
     QUERIES["cdc_stream_stateful_counts"] = replace(
         QUERIES["cdc_stream_stateful_counts"],
