@@ -455,3 +455,72 @@ def range_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                           RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
            AS n_similar_spend""",
     )
+
+
+@query(
+    "unpivot_suite",
+    oracle="""
+SELECT o_orderpriority, metric, CAST(v AS DOUBLE) AS value
+FROM (
+  SELECT o_orderpriority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+  FROM orders GROUP BY o_orderpriority
+) UNPIVOT (v FOR metric IN (total_price, n_orders, n_customers))
+""",
+)
+def unpivot_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): one aggregate row per priority fans
+    out to (metric, value) pairs — the inverse of pivot_suite, via the
+    built-in ``unpivot`` (an Expand node, no shuffle beyond the
+    aggregate's own)."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        F.count("*").cast("double").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["total_price", "n_orders", "n_customers"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "table_profile",
+    oracle="""
+SELECT 'o_totalprice' AS col, count(*) AS n,
+       count(o_totalprice) AS n_nonnull,
+       count(DISTINCT o_totalprice) AS n_distinct,
+       CAST(min(o_totalprice) AS VARCHAR) AS min_v,
+       CAST(max(o_totalprice) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+""",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the deterministic core of ``df.summary()``):
+    row/non-null/distinct counts and min/max per column, one scan per
+    profile via a union of aggregates. At scale the distinct counts
+    switch to HLL sketches (sketch_suite); exact here so the oracle
+    hash-checks."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_v"),
+            F.max(col).cast("string").alias("max_v"),
+        )
+
+    return prof("o_totalprice").unionByName(prof("o_orderstatus"))

@@ -262,3 +262,42 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared_hash64(norm).alias("fingerprint"),
         F.substring(F.md5(norm), 1, 8).alias("fp_prefix"),
     )
+
+
+@query(
+    "hash_split_assign",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ({DUCK_HASH64.format(expr="'split:' || CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc
+FROM h GROUP BY 1, 2
+""",
+)
+def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-keyed hash
+    bucket (80/10/10) — the reproducible alternative to RNG sampling:
+    the same document lands in the same split on every engine, every
+    run, every shard, which is what makes dataset splits auditable at
+    100 TB. A salted key ('split:' prefix) decorrelates this hash from
+    any other hash-of-doc_id use."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        shared_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
