@@ -366,7 +366,16 @@ def cdc_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_replay",
         "u_replay",
     )
-    return run_available_now(joined, "cdc_ss_join")
+    # the join buffers BOTH sides in per-partition state stores; scope
+    # the shuffle-partition count to the drain so state overhead scales
+    # with key cardinality, not the session's scan parallelism (the
+    # fresh checkpoint per call makes the partition count free to vary)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_available_now(joined, "cdc_ss_join")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def _borrow_oracles() -> None:
