@@ -170,3 +170,44 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame_no"),
         )
     )
+
+
+CHUNK_BYTES = 400
+
+
+@query(
+    "audio_chunk",
+    oracle=f"""
+SELECT doc_id,
+       unnest(generate_series(0, octet_length(encode(text)) - 1, {CHUNK_BYTES}))
+         AS chunk_offset,
+       least({CHUNK_BYTES},
+             octet_length(encode(text))
+               - unnest(generate_series(0, octet_length(encode(text)) - 1,
+                                        {CHUNK_BYTES}))) AS chunk_len
+FROM documents WHERE doc_id % 3 = 1
+""",
+)
+def audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking of audio payloads (the audio twin of
+    ``frame_sample``): one row per CHUNK_BYTES window with its offset
+    and actual length — the fan-out an ASR/embedding pipeline runs
+    before per-chunk UDFs. Offsets are generated engine-side with
+    ``sequence``; the byte math stays on metadata, payload bytes are
+    untouched until a downstream decode UDF slices them."""
+    m = media_table(spark, sf_dir)
+    n_bytes = F.col("meta.n_bytes")
+    offsets = F.explode(
+        F.sequence(F.lit(0), n_bytes - 1, F.lit(CHUNK_BYTES))
+    ).alias("chunk_offset")
+    return (
+        m.where(F.col("mime") == "audio/wav")
+        .select("doc_id", offsets, n_bytes.alias("_n"))
+        .select(
+            "doc_id",
+            "chunk_offset",
+            F.least(F.lit(CHUNK_BYTES), F.col("_n") - F.col("chunk_offset")).alias(
+                "chunk_len"
+            ),
+        )
+    )
