@@ -178,3 +178,89 @@ def replay_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("replay_id").alias("last_replay"),
         )
     )
+
+
+MAX_EDIT_DIST = 2
+
+
+@query(
+    "fuzzy_entity_match",
+    oracle=f"""
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= {MAX_EDIT_DIST}
+""",
+)
+def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: near-identical customer names within a
+    nation block (levenshtein ≤ MAX_EDIT_DIST) — the record-matching
+    pass a CDC consumer runs to catch the same real-world entity
+    landing under multiple Ids. Blocking on nationkey keeps the pair
+    space at Σ block² instead of n²; at scale the block key would be
+    a phonetic/sorted-prefix key with the same plan shape."""
+    from sfdc_cdc_aws_spark.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk_b"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("nk") == F.col("nk_b")) & (F.col("cust_a") < F.col("cust_b")),
+        )
+        .where(dist <= MAX_EDIT_DIST)
+        .select("cust_a", "cust_b", dist.alias("edit_dist"))
+    )
+
+
+@query(
+    "commit_order_violations",
+    oracle=f"""
+WITH {CHANGES_CTE},
+seq AS (
+  SELECT entity_name, commit_ts_ms,
+         lag(commit_ts_ms) OVER (PARTITION BY entity_name, uid
+                                 ORDER BY replay_id) AS prev_ts
+  FROM changes
+)
+SELECT entity_name,
+       count(*) AS n_changes,
+       CAST(sum(CASE WHEN prev_ts IS NOT NULL AND commit_ts_ms < prev_ts
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM seq GROUP BY entity_name
+""",
+)
+def commit_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality probe: per entity, how many changes have a commit
+    timestamp that goes BACKWARD relative to stream order (replay_id)
+    for the same key — the anomaly the reference's at-least-once
+    delivery can produce and that latest-per-Id semantics must
+    tolerate (SURVEY.md §1.5). One lag window per key, then a
+    map-side-combinable count; zeros are reported, so a clean feed is
+    positively verified rather than silently empty."""
+    ch = changes(spark, sf_dir)
+    w = Window.partitionBy("entity_name", "uid").orderBy("replay_id")
+    prev_ts = F.lag("commit_ts_ms").over(w)
+    viol = (
+        prev_ts.isNotNull() & (F.col("commit_ts_ms") < prev_ts)
+    ).cast("long")
+    return (
+        ch.select("entity_name", viol.alias("is_violation"))
+        .groupBy("entity_name")
+        .agg(
+            F.count("*").alias("n_changes"),
+            F.sum("is_violation").alias("n_violations"),
+        )
+    )
