@@ -105,3 +105,84 @@ def test_soql_enrich_matches_join(spark):
         ).collect()
     )
     assert g == w
+
+
+def test_cdc_wire_stream_from_concrete_replay_id(spark, tmp_path):
+    """Resuming from a stored replayId (the ReplayExtension contract,
+    ReplayExtension.java:39-50): only events strictly after the stored
+    offset are delivered."""
+    register_cdc_wire(spark)
+    landing = ensure_landing(spark, SF)
+    all_ids = sorted(
+        r[0]
+        for r in spark.read.format("cdc_wire")
+        .option("path", landing)
+        .load()
+        .select("replay_id")
+        .collect()
+    )
+    mid = all_ids[len(all_ids) // 2]
+    q = (
+        spark.readStream.format("cdc_wire")
+        .option("path", landing)
+        .option("replay_from", str(mid))
+        .load()
+        .writeStream.format("memory")
+        .queryName("resume_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    got = sorted(r[0] for r in spark.table("resume_test").select("replay_id").collect())
+    assert got == [i for i in all_ids if i > mid]
+
+
+def test_cdc_wire_stream_picks_up_new_files(spark, tmp_path):
+    """New wire records appearing in the landing dir advance the
+    offset and are delivered exactly once across restarts of the same
+    checkpoint."""
+    import base64 as b64
+    import json as js
+    import shutil
+
+    register_cdc_wire(spark)
+    src = ensure_landing(spark, SF)
+    landing = str(tmp_path / "landing")
+    shutil.copytree(src, landing)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain() -> list[int]:
+        q = (
+            spark.readStream.format("cdc_wire")
+            .option("path", landing)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r[0] for r in spark.read.parquet(out).select("replay_id").collect())
+
+    first = drain()
+    top = max(first)
+    # a late event arrives on the wire
+    env = {
+        "schema": "x",
+        "payload": {"ChangeEventHeader": {"entityName": "late"}},
+        "event": {"replayId": top + 1},
+    }
+    rec = {
+        "partitionKey": "late",
+        "data": b64.b64encode(js.dumps(env).encode()).decode(),
+    }
+    with open(f"{landing}/late.json", "w") as f:
+        f.write(js.dumps(rec) + "\n")
+    second = drain()
+    assert second == first + [top + 1]
