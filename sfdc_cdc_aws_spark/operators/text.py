@@ -301,3 +301,88 @@ def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
     )
+
+
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com' AS text2
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text2, '{EMAIL_RE}')) AS n_emails,
+       md5(regexp_replace(text2, '{EMAIL_RE}', '[EMAIL]', 'g')) AS scrubbed_md5
+FROM seeded
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: find and replace email addresses (the pattern
+    family extends to phones/SSNs the same way). The synthetic corpus
+    carries no PII, so a deterministic address is seeded per document
+    and must be found (count=1 checked by the oracle) and scrubbed;
+    output carries the scrubbed text's md5, not the text — at 100 TB
+    you verify redaction with fingerprints, not by shipping the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text2, F.lit(f"({EMAIL_RE})"))).cast(
+            "bigint"
+        ).alias("n_emails"),
+        F.md5(F.regexp_replace(text2, EMAIL_RE, "[EMAIL]")).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "repetition_score",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2
+),
+c AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY doc_id, g)
+SELECT doc_id,
+       max(n) AS max_rep,
+       CAST(sum(n) AS BIGINT) AS total_bigrams,
+       round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS rep_ratio
+FROM c GROUP BY doc_id
+""",
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repetition detection: the most frequent bigram's
+    share of a document's bigrams — high ratios flag template spam and
+    looping text, one of the standard pretrain quality filters. Two
+    keyed aggregations, both map-side combinable; nothing but (doc_id,
+    bigram, count) ever shuffles."""
+    d = load_table(spark, sf_dir, "documents", widen=True)
+    t = tokens_col()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    per_bigram = (
+        d.where(F.size(t) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+    )
+    return per_bigram.groupBy("doc_id").agg(
+        F.max("n").alias("max_rep"),
+        F.sum("n").alias("total_bigrams"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("rep_ratio"),
+    )
