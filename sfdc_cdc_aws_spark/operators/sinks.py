@@ -12,6 +12,7 @@ query demonstrates end-to-end.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +56,8 @@ def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in os.listdir(out)
         if os.path.isdir(os.path.join(out, p))
     )
-    return back.groupBy("change_type").agg(
+    result = back.groupBy("change_type").agg(
         F.count("*").alias("n"), F.countDistinct("uid").alias("n_ids")
-    )
+    ).localCheckpoint()  # detach from the lake dir before removing it
+    shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -322,12 +322,14 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = snap.attach(ch, f"/tmp/sfdc_cdc_merge/{run_id}/ckpt")
     q.awaitTermination()
-    return snap.current().select(
+    result = snap.current().select(
         "entity_name",
         "record_id",
         F.col("change_type").alias("uind"),
         "commit_ts_ms",
-    )
+    ).localCheckpoint()  # detach from the state dir before removing it
+    shutil.rmtree(f"/tmp/sfdc_cdc_merge/{run_id}", ignore_errors=True)
+    return result
 
 
 @query(
