@@ -535,3 +535,62 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+@query(
+    "decontaminate_anti",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             list_distinct(list_transform(generate_series(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS h
+  FROM toks WHERE len(t) >= 4
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < {BENCH_DOC_MAX}),
+contaminated AS (
+  SELECT DISTINCT c.doc_id FROM sh c JOIN bench b USING (h)
+  WHERE c.doc_id >= {BENCH_DOC_MAX}
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id >= {BENCH_DOC_MAX}
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+)
+def decontaminate_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enforcement half of benchmark decontamination: keep only
+    the corpus documents with ZERO 4-gram overlap against the held-out
+    benchmark set (``contamination_check`` is the audit that counts
+    hits; this is the anti-join that drops the hitters). The
+    contaminated-id set is tiny (bounded by corpus hit rate), so the
+    final anti-join broadcasts; the shingle side reuses the same
+    narrow hashed-shingle plan — at 100 TB nothing but 8-byte hashes
+    and doc ids ever shuffles."""
+    from sfdc_cdc_aws_spark.operators.text import shared_hash64
+
+    d = load_table(spark, sf_dir, "documents", widen=True)
+    sh = d.where(F.size(tokens_col()) >= 4).select(
+        "doc_id",
+        F.explode(
+            F.transform(_word_shingles(4), lambda g: shared_hash64(g))
+        ).alias("h"),
+    )
+    bench = F.broadcast(
+        sh.where(F.col("doc_id") < BENCH_DOC_MAX).select("h").distinct()
+    )
+    contaminated = (
+        sh.where(F.col("doc_id") >= BENCH_DOC_MAX)
+        .join(bench, "h")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.where(F.col("doc_id") >= BENCH_DOC_MAX)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )

@@ -272,3 +272,148 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= NEARDUP_COS)
         .select("vec_a", "vec_b", "cell", cos.alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (SimHash-for-vectors)
+# ---------------------------------------------------------------------------
+
+RHP_PLANES = 16  # 4 bands x 4 bits
+RHP_BANDS = 4
+RHP_BITS = RHP_PLANES // RHP_BANDS
+EMB_DIM = 64
+
+
+def _rhp_plane(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: md5-seeded weights in
+    [-1, 1] with exactly 3 decimals, so the literal parses to the same
+    double in Spark and DuckDB. A production index would draw Gaussian
+    planes once and broadcast them; determinism is the same idea with
+    a reproducible seed."""
+    import hashlib
+
+    w = []
+    for d in range(EMB_DIM):
+        k = int(hashlib.md5(f"rhp:{p}:{d}".encode()).hexdigest()[:15], 16) % 2001
+        w.append((k - 1000) / 1000.0)
+    return w
+
+
+def _duck_rhp_codes() -> list[str]:
+    """One DuckDB int expression per band: the 4 plane-sign bits."""
+    codes = []
+    for b in range(RHP_BANDS):
+        bits = []
+        for j in range(RHP_BITS):
+            w = _rhp_plane(b * RHP_BITS + j)
+            lst = "[" + ", ".join(f"{x:.3f}" for x in w) + "]"
+            bits.append(
+                f"(CASE WHEN round(list_dot_product("
+                f"CAST(embedding AS DOUBLE[]), {lst}), 6) >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        codes.append(" + ".join(bits))
+    return codes
+
+
+_RHP_CODES_SQL = _duck_rhp_codes()
+
+
+@query(
+    "rhp_lsh_neardup",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id,
+         {", ".join(f"({c}) AS code{b}" for b, c in enumerate(_RHP_CODES_SQL))}
+  FROM embeddings
+),
+bands AS (
+  SELECT vec_id, band, code FROM (
+    SELECT vec_id, unnest([
+      {", ".join(f"{{'band': {b}, 'code': code{b}}}" for b in range(RHP_BANDS))}
+    ], recursive := true) FROM sig
+  )
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT vec_a, vec_b,
+         {DUCK_COSINE.format(a='ea.embedding', b='eb.embedding')} AS cos_sim
+  FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+            JOIN embeddings eb ON eb.vec_id = vec_b
+) WHERE cos_sim >= {NEARDUP_COS}
+""",
+)
+def rhp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-duplicates — the cosine-native
+    blocking scheme (vs ``embedding_neardup``'s IVF cells): 16 fixed
+    hyperplanes give a 16-bit sign signature, split into 4 bands of 4
+    bits; vectors sharing any band code become candidate pairs, then
+    exact cosine verifies. All signature work is narrow JVM folds; the
+    shuffles carry only (band, code, vec_id) and 16-byte id pairs —
+    Σ bucket² candidate cost, n² never materializes. Recall comes from
+    banding (a near-dup pair collides in ≥1 of 4 bands w.h.p.); the
+    planes are md5-seeded literals so the oracle replays bit-for-bit."""
+    from sfdc_cdc_aws_spark.functions.vector import dot
+
+    e = load_table(spark, sf_dir, "embeddings", widen=True)
+
+    def band_code(b: int):
+        bits = []
+        for j in range(RHP_BITS):
+            plane = F.array(*[F.lit(x) for x in _rhp_plane(b * RHP_BITS + j)])
+            bit = (F.round(dot(F.col("embedding"), plane), 6) >= 0).cast("int")
+            bits.append(bit * (1 << j))
+        out = bits[0]
+        for x in bits[1:]:
+            out = out + x
+        return out
+
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_code(b).alias("code"))
+            for b in range(RHP_BANDS)
+        ]
+    )
+    bands = e.select("vec_id", F.explode(band_arr).alias("bc")).select(
+        "vec_id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code")
+    )
+    a = bands.select("band", "code", F.col("vec_id").alias("vec_a"))
+    b = bands.select(
+        F.col("band").alias("band_b"),
+        F.col("code").alias("code_b"),
+        F.col("vec_id").alias("vec_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("code") == F.col("code_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    ea = en.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = en.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = cosine_prenorm(
+        F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEARDUP_COS)
+    )

@@ -346,6 +346,107 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_total AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, CAST(rnk AS INT) AS rnk, tfidf
+FROM ranked WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document. The corpus
+    statistic (document frequency) is a map-side-combinable aggregate;
+    the corpus size joins back as a broadcast scalar, so the only real
+    shuffles are the two keyed aggregations and the final per-doc
+    window — all partitioned on keys that scale with the data, never
+    on a hot single key. Ties rank deterministically (score desc, term
+    asc) so the oracle replays the exact rows."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_total = d.agg(F.count("*").alias("n_total"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_total").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "rnk", "tfidf")
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         ({DUCK_HASH64.format(expr="'sample:' || CAST(doc_id AS VARCHAR)")}) % 1000
+           AS bucket,
+         CASE WHEN lang = 'en' THEN 100
+              WHEN lang = 'zh' THEN 400
+              ELSE 250 END AS rate
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(bucket AS BIGINT) AS bucket
+FROM h WHERE bucket < rate
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling with per-stratum rates — the
+    corpus-mixing primitive (downsample over-represented English,
+    upweight scarce Chinese). Hash-threshold sampling instead of RNG:
+    a pure narrow filter (no shuffle, no state, no seed coordination
+    across executors), reproducible shard-by-shard at 100 TB, and the
+    sample is stable under corpus growth — adding documents never
+    changes whether an existing one is in."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        shared_hash64(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+        % 1000
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 100)
+        .when(F.col("lang") == "zh", 400)
+        .otherwise(250)
+    )
+    return (
+        d.select("doc_id", "lang", "source", bucket.alias("bucket"), rate.alias("rate"))
+        .where(F.col("bucket") < F.col("rate"))
+        .drop("rate")
+    )
+
+
+@query(
     "repetition_score",
     oracle=f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
