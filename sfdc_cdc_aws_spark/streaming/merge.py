@@ -64,7 +64,13 @@ class IncrementalSnapshot:
             _latest_per_key(self.read().unionByName(delta)) if self.exists() else delta
         )
         tmp = f"{self.state_dir}__stage_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
+        # the state relation is bounded by live-key cardinality, not by
+        # stream volume — collapse the post-agg shuffle partitions so
+        # each swap writes a few right-sized files instead of
+        # shuffle.partitions shards (coalesce is narrow: no extra
+        # shuffle). A 100 TB deployment would partition this by entity
+        # and date instead; the per-call knob keeps the same shape.
+        merged.coalesce(4).write.mode("overwrite").parquet(tmp)
         old = f"{self.state_dir}__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.state_dir):
             os.rename(self.state_dir, old)
