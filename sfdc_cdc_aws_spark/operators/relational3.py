@@ -1,0 +1,75 @@
+"""Third relational suite: generator functions with ordinality and
+multiset set operations — ANSI surface the first two suites don't
+touch (relational.py has distinct-set ops; this one proves the ALL
+variants' multiplicity semantics, and posexplode's position output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.operators.text import _DUCK_TOKENS, tokens_col
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+
+
+@query(
+    "posexplode_suite",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+e AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, least(5, len(t))),
+                               i -> {{'pos': i - 1, 'tok': t[i]}})) AS u
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS token FROM e
+""",
+)
+def posexplode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (generator with ordinality): the first five
+    tokens of every document with their positions — the UNNEST WITH
+    ORDINALITY shape. The slice bounds the fan-out before the
+    generator runs, so the explode is narrow and the row count is
+    5·docs, not tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    return (
+        d.where(F.size(t) > 0)
+        .select("doc_id", F.posexplode(F.slice(t, 1, 5)).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+    )
+
+
+@query(
+    "set_ops_all_suite",
+    oracle="""
+WITH a AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)
+SELECT 'union_all' AS op, c_nationkey
+FROM (SELECT c_nationkey FROM a UNION ALL SELECT c_nationkey FROM b)
+UNION ALL
+SELECT 'intersect_all' AS op, c_nationkey
+FROM (SELECT c_nationkey FROM a INTERSECT ALL SELECT c_nationkey FROM b)
+UNION ALL
+SELECT 'except_all' AS op, c_nationkey
+FROM (SELECT c_nationkey FROM a EXCEPT ALL SELECT c_nationkey FROM b)
+""",
+)
+def set_ops_all_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — UNION ALL / INTERSECT ALL /
+    EXCEPT ALL over overlapping customer slices with duplicate
+    nationkeys, so multiplicity semantics (min / difference of
+    duplicate counts) are what the oracle actually checks, not just
+    membership. Spark plans intersectAll/exceptAll as count-annotated
+    aggregates + a generate — no row-by-row matching."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.where(F.col("c_acctbal") > 5000).select("c_nationkey")
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "c_nationkey")  # noqa: E731
+    return (
+        tag(a.unionAll(b), "union_all")
+        .unionAll(tag(a.intersectAll(b), "intersect_all"))
+        .unionAll(tag(a.exceptAll(b), "except_all"))
+    )

@@ -417,3 +417,81 @@ def rhp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= NEARDUP_COS)
     )
+
+
+@query(
+    "topk_cosine_numpy",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES})
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {DUCK_COSINE.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {DUCK_COSINE.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id) AS rnk
+  FROM q, embeddings c
+  WHERE c.vec_id <> q.vec_id
+) WHERE rnk <= {TOP_K}
+""",
+)
+def topk_cosine_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k on the Arrow fast path: ``mapInPandas``
+    computes a BLAS matmul (queries × corpus-batch) per Arrow batch
+    and keeps only the per-partition top-k (selected with the FINAL
+    comparator — rounded cosine desc, id asc — so partial top-k is
+    exactly distributive), then a global window reduces the
+    |partitions|·|Q|·k candidates. Same oracle as ``topk_cosine_sim``;
+    this is the pattern for when the per-row math outgrows column
+    expressions: vectorized Python on Arrow batches, never row-at-a-
+    time, and only k rows per (partition, query) ever shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings", widen=True)
+    qrows = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # bounded side input: N_QUERIES rows, broadcast via closure
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def partial_topk(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_nrm = np.sqrt((c * c).sum(axis=1))
+            sims = np.round(
+                (q_mat @ c.T) / (q_nrm[:, None] * c_nrm[None, :]), 6
+            )
+            out = []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                cand_ids, cand = ids[mask], sims[qi][mask]
+                # final comparator: (-cos_rounded, id) lexicographic
+                order = np.lexsort((cand_ids, -cand))[:TOP_K]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "neighbor_id": cand_ids[order],
+                            "cos_sim": cand[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        partial_topk, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

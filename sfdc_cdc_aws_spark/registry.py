@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.operators.analytics",
         "sfdc_cdc_aws_spark.operators.cdc_analytics",
         "sfdc_cdc_aws_spark.operators.relational2",
+        "sfdc_cdc_aws_spark.operators.relational3",
         "sfdc_cdc_aws_spark.operators.udfs",
         "sfdc_cdc_aws_spark.operators.sinks",
         "sfdc_cdc_aws_spark.operators.dedup",
