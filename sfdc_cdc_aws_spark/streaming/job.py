@@ -294,6 +294,36 @@ def cdc_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "cdc_tumbling", output_mode="complete")
 
 
+@query(
+    "cdc_stream_session",
+    oracle=None,  # set below from the shared CHANGES_CTE
+)
+def cdc_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows on the stream: per entity, bursts of
+    change activity separated by ≥60 s of silence (built-in
+    ``session_window``, gap end-exclusive). Sessions merge across
+    micro-batches in the state store; complete-mode drain emits the
+    final merged sessions. The batch oracle replays the same semantics
+    with the lag-gap running-sum formulation — the two sessionization
+    styles must agree row-for-row."""
+    landing = ensure_landing(spark, sf_dir)
+    wire = spark.readStream.schema(WIRE_SCHEMA).json(landing)
+    agg = (
+        parse_wire(wire)
+        .withWatermark("commit_ts", REPLAY_DEDUP_HORIZON)
+        .groupBy(
+            "entity_name", F.session_window("commit_ts", "60 seconds").alias("sw")
+        )
+        .agg(F.count("*").alias("n_changes"))
+        .select(
+            "entity_name",
+            F.unix_millis("sw.start").alias("session_start_ms"),
+            "n_changes",
+        )
+    )
+    return run_available_now(agg, "cdc_session", output_mode="complete")
+
+
 def stateful_entity_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via
     ``applyInPandasWithState``: a per-entity running change counter
@@ -471,6 +501,30 @@ FROM changes a JOIN changes b
  AND a.change_type = 'CREATE' AND b.change_type = 'UPDATE'
  AND b.commit_ts_ms >= a.commit_ts_ms
  AND b.commit_ts_ms <= a.commit_ts_ms + 3600000
+""",
+    )
+    QUERIES["cdc_stream_session"] = replace(
+        QUERIES["cdc_stream_session"],
+        oracle=f"""
+WITH {CHANGES_CTE},
+gaps AS (
+  SELECT entity_name, commit_ts_ms, replay_id, record_id,
+         CASE WHEN commit_ts_ms - lag(commit_ts_ms) OVER (
+                  PARTITION BY entity_name
+                  ORDER BY commit_ts_ms, replay_id, record_id) >= 60000
+              THEN 1 ELSE 0 END AS brk
+  FROM changes
+),
+sess AS (
+  SELECT entity_name, commit_ts_ms,
+         sum(brk) OVER (PARTITION BY entity_name
+                        ORDER BY commit_ts_ms, replay_id, record_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT entity_name, min(commit_ts_ms) AS session_start_ms,
+       count(*) AS n_changes
+FROM sess GROUP BY entity_name, sid
 """,
     )
     QUERIES["cdc_stream_stateful_counts"] = replace(

@@ -96,3 +96,51 @@ def test_agg_suite_is_codegen(spark):
     """The aggregation pipeline must run inside whole-stage codegen
     spans (JVM-compiled, no interpreted rows)."""
     assert codegen_stage_count(_df(spark, "agg_suite")) >= 1
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """Q5's four dim sides must all broadcast — the only non-broadcast
+    join allowed is lineitem⋈orders — and the order-date range must
+    reach the orders scan."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "tpch_q5_local_supply")
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+    assert "CartesianProduct" not in kinds
+    assert plan_string(df).count("BroadcastHashJoin") >= 4
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_topk_numpy_is_arrow_batched(spark):
+    """The BLAS top-k must run as one Arrow-batched python stage
+    (MapInPandas), never row-at-a-time (BatchEvalPython)."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    plan = plan_string(_df(spark, "topk_cosine_numpy"))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rhp_lsh_never_cross_joins(spark):
+    """Candidate generation is banded — the plan must contain no
+    cartesian product and no broadcast nested loop over the corpus."""
+    kinds = join_kinds(_df(spark, "rhp_lsh_neardup"))
+    assert "CartesianProduct" not in kinds
+
+
+def test_decontaminate_anti_is_broadcast(spark):
+    """The contaminated-id set is small by construction; the final
+    anti-join must broadcast it, and the 4-gram side must aggregate
+    with a map-side partial."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "decontaminate_anti")
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_tfidf_aggregates_partial(spark):
+    """Both tf and df aggregations must combine map-side — the shuffle
+    carries (key, partial count), not raw token rows."""
+    assert has_partial_aggregate(_df(spark, "tfidf_top_terms"))
