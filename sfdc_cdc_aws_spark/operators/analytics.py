@@ -325,3 +325,57 @@ def tpch_q5_local_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@query(
+    "tpch_q18_big_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       qty_sum
+FROM big JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 20
+""",
+)
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the HAVING-filtered
+    aggregate-as-build-side pattern. The per-order quantity sum reduces
+    lineitem to one row per order BEFORE any join (map-side partial,
+    then the HAVING cuts it to a tiny relation), so the subsequent
+    joins broadcast the survivors instead of shuffling lineitem twice.
+    Top-k again via TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 300)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("qty_sum"))
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias(
+                "total_price"
+            ),
+            "qty_sum",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(20)
+    )

@@ -61,3 +61,68 @@ def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()  # detach from the lake dir before removing it
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# bucketed storage layout — the shuffle-free co-located join
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders and customer as bucketed tables on their join
+    key (idempotent per session). ``repartition(_BUCKETS, key)`` before
+    the write uses the same murmur3 hash as the bucket assignment, so
+    every task holds exactly one bucket and each bucket lands as ONE
+    sorted file — which lets the reader honor sortBy metadata too."""
+    from sfdc_cdc_aws_spark.sources import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    to, tc = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    for tbl, src, key in ((to, "orders", "o_custkey"), (tc, "customer", "c_custkey")):
+        if not spark.catalog.tableExists(tbl):
+            (
+                load_table(spark, sf_dir, src)
+                .repartition(_BUCKETS, F.col(key))
+                .write.bucketBy(_BUCKETS, key)
+                .sortBy(key)
+                .option("path", f"/tmp/sfdc_bucketed/{tag}/{tbl}")
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    return to, tc
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located join: both sides pre-bucketed on the join key, so
+    the sort-merge join consumes bucket files directly — ZERO shuffle
+    exchanges feeding the join (asserted in tests/test_plan_shapes.py);
+    the only exchange left in the plan is the final small aggregate.
+    This is THE layout decision at 100 TB: a fact table bucketed on its
+    most-joined key amortizes one write-time shuffle across every
+    future join. The merge hint pins SMJ so the demonstration doesn't
+    silently become a broadcast."""
+    to, tc = _ensure_bucketed(spark, sf_dir)
+    o, c = spark.table(to), spark.table(tc)
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )

@@ -487,3 +487,92 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("total_bigrams"),
         F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("rep_ratio"),
     )
+
+
+@query(
+    "bigram_pmi",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+uni AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tok,
+               (SELECT CAST(sum(len(t) - 1) AS BIGINT) FROM toks
+                WHERE len(t) >= 2) AS n_big
+        FROM uni),
+bg AS (
+  SELECT u.w1, u.w2, count(*) AS cb FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS u
+    FROM toks WHERE len(t) >= 2
+  ) GROUP BY u.w1, u.w2
+),
+scored AS (
+  SELECT w1, w2, cb,
+         round(ln(CAST(cb AS DOUBLE) * n_tok * n_tok
+                  / (CAST(n_big AS DOUBLE) * a.cw * b.cw)), 6) AS pmi
+  FROM bg JOIN uni a ON w1 = a.w JOIN uni b ON w2 = b.w CROSS JOIN tot
+  WHERE cb >= 5
+)
+SELECT w1, w2, cb, pmi FROM scored
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+""",
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of bigrams
+    (min count 5, top 20). Three corpus statistics — unigram counts,
+    bigram counts, totals — each a map-side-combinable aggregate; the
+    scalar totals broadcast, and the unigram relation joins the bigram
+    relation twice on the word key. The integer products stay inside
+    one ``ln`` so both engines compute the identical double."""
+    d = load_table(spark, sf_dir, "documents", widen=True)
+    t = tokens_col()
+    toks = d.select("doc_id", t.alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    tot = F.broadcast(
+        uni.agg(F.sum("cw").cast("bigint").alias("n_tok")).crossJoin(
+            toks.where(F.size("t") >= 2)
+            .agg(F.sum(F.size("t") - 1).cast("bigint").alias("n_big"))
+        )
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("u"))
+        .groupBy(F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
+        .agg(F.count("*").alias("cb"))
+        .where(F.col("cb") >= 5)
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))
+    b = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))
+    scored = (
+        bg.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            F.round(
+                F.log(
+                    F.col("cb").cast("double")
+                    * F.col("n_tok")
+                    * F.col("n_tok")
+                    / (F.col("n_big").cast("double") * F.col("cw1") * F.col("cw2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)

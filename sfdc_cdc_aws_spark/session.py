@@ -36,6 +36,8 @@ def get_session(app_name: str = "sfdc_cdc_aws_spark", cpus: int | None = None) -
         # parquet reader rejects; read it as a long and convert at load
         # (sources/tables.py). Other tables use ms timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed/bucketed tables land outside the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/sfdc_warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

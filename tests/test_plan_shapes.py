@@ -144,3 +144,16 @@ def test_tfidf_aggregates_partial(spark):
     """Both tf and df aggregations must combine map-side — the shuffle
     carries (key, partial count), not raw token rows."""
     assert has_partial_aggregate(_df(spark, "tfidf_top_terms"))
+
+
+def test_bucketed_join_has_no_join_shuffle(spark):
+    """Both sides pre-bucketed on the join key: the sort-merge join
+    must consume bucket files directly — the only exchange in the
+    whole plan is the final aggregate's."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "bucketed_colocated_join")
+    plan = plan_string(df)
+    assert plan.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in join_kinds(df)
+    assert exchange_count(df) == 1
