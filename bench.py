@@ -50,10 +50,13 @@ def main() -> None:
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        timings[name] = round(best, 2)
+        print(f"  {name}: {best:.3f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 2)
+    # compact separators + 2-decimal rounding: the driver captures a
+    # bounded tail of stdout, and round 1's pretty-printed line
+    # overflowed it (BENCH_r01.json "parsed": null)
     print(
         json.dumps(
             {
@@ -64,7 +67,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "master": spark.sparkContext.master,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -381,21 +381,32 @@ def rhp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = e.select("vec_id", F.explode(band_arr).alias("bc")).select(
         "vec_id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code")
     )
-    a = bands.select("band", "code", F.col("vec_id").alias("vec_a"))
-    b = bands.select(
-        F.col("band").alias("band_b"),
-        F.col("code").alias("code_b"),
-        F.col("vec_id").alias("vec_b"),
+    # group each (band, code) bucket's sorted vec_ids once and emit
+    # intra-bucket pairs with higher-order functions (the pattern from
+    # minhash_lsh_dedup, dedup.py): the signature pipeline evaluates
+    # ONCE (a bucket self-join would run it per join side) and the
+    # pair-dedup is the same groupBy that collects the pairs — no
+    # separate distinct() shuffle over the candidate set. Σ bucket²
+    # candidate cost is unchanged; sorting makes vec_a < vec_b by
+    # construction.
+    ids = F.sort_array(F.collect_list("vec_id"))
+    bucket_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
+        )
     )
     cand = (
-        a.join(
-            b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("code") == F.col("code_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
+        bands.groupBy("band", "code")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(bucket_pairs).alias("p"))
+        .groupBy(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
         .select("vec_a", "vec_b")
-        .distinct()
     )
     en = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     ea = en.select(
