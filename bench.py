@@ -21,7 +21,9 @@ from sfdc_cdc_aws_spark.session import get_session
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    # best-of-3 by default: round-2 showed a ~1.2-1.4x unpinned drift
+    # band with repeat=1; min-of-N makes unchanged-code timings stable.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_session("bench")
 
@@ -50,13 +52,13 @@ def main() -> None:
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 2)
+        timings[name] = round(best, 4)
         print(f"  {name}: {best:.3f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 2)
-    # compact separators + 2-decimal rounding: the driver captures a
-    # bounded tail of stdout, and round 1's pretty-printed line
-    # overflowed it (BENCH_r01.json "parsed": null)
+    total = round(sum(timings.values()), 3)
+    # compact separators keep the one-line JSON inside the driver's
+    # bounded stdout tail (round 1's pretty-printed line overflowed it);
+    # 4-decimal timings so sub-10ms queries don't record 0.0
     print(
         json.dumps(
             {

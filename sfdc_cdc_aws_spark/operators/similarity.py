@@ -278,7 +278,14 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # random-hyperplane LSH (SimHash-for-vectors)
 # ---------------------------------------------------------------------------
 
-RHP_PLANES = 16  # 4 bands x 4 bits
+# 4 bands x 8 bits: 256 codes per band. Bits-per-band is the blocking
+# dial — rounds 1-2 used 4 bits (16 codes), under which a *random*
+# pair collides in some band with p ≈ 4/16 = 25%, i.e. the "blocking"
+# admitted a quarter of all n² pairs (measured: 518k of 2M at sf0.1).
+# At 8 bits a random pair passes at ~4/256 ≈ 1.6% while a true
+# near-dup (cos ≥ 0.9) still collides in ≥1 band w.h.p. — the standard
+# recall/cost curve for sign-LSH.
+RHP_PLANES = 32
 RHP_BANDS = 4
 RHP_BITS = RHP_PLANES // RHP_BANDS
 EMB_DIM = 64
@@ -349,62 +356,67 @@ SELECT vec_a, vec_b, cos_sim FROM (
 )
 def rhp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-duplicates — the cosine-native
-    blocking scheme (vs ``embedding_neardup``'s IVF cells): 16 fixed
-    hyperplanes give a 16-bit sign signature, split into 4 bands of 4
+    blocking scheme (vs ``embedding_neardup``'s IVF cells): 32 fixed
+    hyperplanes give a 32-bit sign signature, split into 4 bands of 8
     bits; vectors sharing any band code become candidate pairs, then
-    exact cosine verifies. All signature work is narrow JVM folds; the
-    shuffles carry only (band, code, vec_id) and 16-byte id pairs —
-    Σ bucket² candidate cost, n² never materializes. Recall comes from
-    banding (a near-dup pair collides in ≥1 of 4 bands w.h.p.); the
-    planes are md5-seeded literals so the oracle replays bit-for-bit."""
-    from sfdc_cdc_aws_spark.functions.vector import dot
+    exact cosine verifies.
+
+    All 32 dot products come from ONE BLAS matmul per Arrow batch
+    (n×64 @ 64×32 → sign bits → band codes) instead of per-row
+    expression-tree folds — the reason this query was 4 s in rounds
+    1-2. Candidates come from a *streaming* bucket self-join on
+    (band, code): buckets are Θ(n/2^RHP_BITS), so collecting a bucket
+    into one row would hit Spark's 2^31 array limit long before
+    100 TB — the join keeps Σ bucket² as many small rows, never one
+    giant one. The signature stage runs once per join side; that is
+    one cheap matmul per row, a deliberate trade against caching n×4
+    band rows. Recall comes from banding (a near-dup pair collides in
+    ≥1 of 4 bands w.h.p.); planes are md5-seeded 3-decimal literals so
+    the oracle replays bit-for-bit."""
+    import numpy as np
+    import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings", widen=True)
+    planes = np.array(
+        [_rhp_plane(p) for p in range(RHP_PLANES)], dtype=np.float64
+    ).T  # 64 x 16
+    weights = (1 << np.arange(RHP_BITS)).astype(np.int64)
 
-    def band_code(b: int):
-        bits = []
-        for j in range(RHP_BITS):
-            plane = F.array(*[F.lit(x) for x in _rhp_plane(b * RHP_BITS + j)])
-            bit = (F.round(dot(F.col("embedding"), plane), 6) >= 0).cast("int")
-            bits.append(bit * (1 << j))
-        out = bits[0]
-        for x in bits[1:]:
-            out = out + x
-        return out
+    def sign_bands(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (np.round(c @ planes, 6) >= 0).astype(np.int64)  # n x 16
+            out = []
+            for b in range(RHP_BANDS):
+                codes = bits[:, b * RHP_BITS : (b + 1) * RHP_BITS] @ weights
+                out.append(
+                    pd.DataFrame({"vec_id": ids, "band": b, "code": codes})
+                )
+            yield pd.concat(out)
 
-    band_arr = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_code(b).alias("code"))
-            for b in range(RHP_BANDS)
-        ]
+    bands = e.select("vec_id", "embedding").mapInPandas(
+        sign_bands, "vec_id long, band int, code int"
     )
-    bands = e.select("vec_id", F.explode(band_arr).alias("bc")).select(
-        "vec_id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code")
+    ba = bands.select(
+        F.col("vec_id").alias("vec_a"), "band", "code"
     )
-    # group each (band, code) bucket's sorted vec_ids once and emit
-    # intra-bucket pairs with higher-order functions (the pattern from
-    # minhash_lsh_dedup, dedup.py): the signature pipeline evaluates
-    # ONCE (a bucket self-join would run it per join side) and the
-    # pair-dedup is the same groupBy that collects the pairs — no
-    # separate distinct() shuffle over the candidate set. Σ bucket²
-    # candidate cost is unchanged; sorting makes vec_a < vec_b by
-    # construction.
-    ids = F.sort_array(F.collect_list("vec_id"))
-    bucket_pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
-            ),
-        )
+    bb = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("band").alias("band_b"),
+        F.col("code").alias("code_b"),
     )
+    # pair-dedup is a groupBy (a pair colliding in k bands appears k
+    # times), which doubles as the distinct() the candidate set needs
     cand = (
-        bands.groupBy("band", "code")
-        .agg(ids.alias("ids"))
-        .where(F.size("ids") >= 2)
-        .select(F.explode(bucket_pairs).alias("p"))
-        .groupBy(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
+        ba.join(
+            bb,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("code") == F.col("code_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .groupBy("vec_a", "vec_b")
         .agg(F.count("*").alias("n_shared_bands"))
         .select("vec_a", "vec_b")
     )

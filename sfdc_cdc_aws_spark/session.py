@@ -15,9 +15,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+# One BLAS thread per Python worker: with 32 concurrent tasks each
+# spawning an OpenBLAS/OMP pool, numpy matmuls in mapInPandas thrash
+# (measured 2-9x slowdowns on topk_cosine_numpy).  The parallelism
+# budget belongs to Spark tasks, not to nested BLAS pools — same rule
+# on a real cluster (executor cores x 1 BLAS thread).
+_BLAS_ENV = {
+    "OPENBLAS_NUM_THREADS": "1",
+    "OMP_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+}
+
+
 def get_session(app_name: str = "sfdc_cdc_aws_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    # local mode: Python workers inherit the driver process env, so set
+    # it here (before the JVM forks); executorEnv covers real clusters.
+    for k, v in _BLAS_ENV.items():
+        os.environ.setdefault(k, v)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -39,6 +57,8 @@ def get_session(app_name: str = "sfdc_cdc_aws_spark", cpus: int | None = None) -
         # managed/bucketed tables land outside the repo tree
         .config("spark.sql.warehouse.dir", "/tmp/sfdc_warehouse")
     )
+    for k, v in _BLAS_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

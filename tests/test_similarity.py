@@ -46,20 +46,40 @@ def test_numpy_topk_is_exact(spark, exact_topk):
     assert got == exact_topk
 
 
-def test_rhp_lsh_finds_top_cosine_pairs(spark):
-    """RHP-LSH near-dup candidates must recover most of the highest-
-    cosine pairs found by IVF-cell blocking (the two blockers are
-    independent, so agreement on the top pairs is a real signal)."""
-    ivf = {
-        (r["vec_a"], r["vec_b"]): r["cos_sim"]
-        for r in SPECS["embedding_neardup"].fn(spark, SF).collect()
-    }
-    rhp = {
+def test_rhp_lsh_finds_planted_neardups(spark, tmp_path):
+    """RHP-LSH must recover planted near-duplicates. The driver
+    embeddings are i.i.d. random, so they contain no true near-dups —
+    the only honest recall fixture is one with dups planted: each
+    planted pair is an original vector plus tiny noise (cos ≥ 0.99),
+    for which 4 bands × 8 bits gives ≥ 1 colliding band w.h.p.
+    (theoretical recall ≈ 0.99 at cos 0.99). Random non-dup pairs
+    stay out at ~1.6% — both sides of the LSH trade are asserted."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n, dim, n_dups = 400, 64, 25
+    base = rng.standard_normal((n, dim))
+    dup = base[:n_dups] + 0.05 * rng.standard_normal((n_dups, dim))
+    mat = np.vstack([base, dup]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n + n_dups), type=pa.int64()),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+            "label": pa.array([i % 4 for i in range(n + n_dups)], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = {
         (r["vec_a"], r["vec_b"])
-        for r in SPECS["rhp_lsh_neardup"].fn(spark, SF).collect()
+        for r in SPECS["rhp_lsh_neardup"].fn(spark, str(tmp_path)).collect()
     }
-    top_ivf = {p for p, c in ivf.items() if c >= 0.35}
-    if not top_ivf:
-        pytest.skip("no strong pairs at this SF")
-    recall = len(rhp & top_ivf) / len(top_ivf)
-    assert recall >= 0.5, f"RHP-LSH missed too many strong pairs: {recall:.2f}"
+    planted = {(i, n + i) for i in range(n_dups)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.8, f"RHP-LSH missed planted near-dups: {recall:.2f}"
+    # precision side: candidates that survived the cos>=NEARDUP_COS
+    # verify step should be dominated by real structure, not the n²
+    # random background (which would be ~1.6% of 80k pairs ≈ 1300)
+    assert len(got) < 500, f"blocking admitted too much background: {len(got)}"
