@@ -65,6 +65,11 @@ def load_all() -> dict[str, QuerySpec]:
     ):
         try:
             importlib.import_module(mod)
-        except ModuleNotFoundError:  # module not built yet
-            pass
+        except ModuleNotFoundError as exc:
+            # Swallow ONLY "this operator module isn't built yet".
+            # A missing *transitive* dep inside a real module must
+            # raise loudly — silently dropping the module would shrink
+            # the driver-verified surface with zero signal.
+            if exc.name != mod:
+                raise
     return QUERIES

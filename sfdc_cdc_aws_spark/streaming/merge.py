@@ -12,14 +12,25 @@ merge is emulated with the classic anti-join-free formulation:
 file-level pruning replaces the full-state rewrite; the streaming
 side (checkpoint, foreachBatch, per-batch reduction) is unchanged.
 Tombstones stay IN the state (a later batch must not resurrect an
-older pre-delete row); readers filter ``uind <> 'DELETE'``.
+older pre-delete row); readers filter ``change_type <> 'DELETE'``
+(``current()`` below).
+
+Crash safety: the swap is two renames, which cannot be jointly
+atomic on a filesystem, so the protocol uses FIXED names
+(``<state>__stage`` / ``<state>__old``) and ``_recover()`` repairs
+any interrupted swap before the state is next read: a crash after
+``state → old`` but before ``stage → state`` rolls back to ``old``
+(the interrupted batch's epoch was never committed to the streaming
+checkpoint — foreachBatch commits only after ``upsert`` returns — so
+the batch replays and re-merges). Without this, that crash window
+silently dropped ALL accumulated state while the checkpoint kept
+marking earlier batches done.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,10 +57,36 @@ class IncrementalSnapshot:
         self.spark = spark
         self.state_dir = state_dir
 
+    @property
+    def _stage(self) -> str:
+        return f"{self.state_dir}__stage"
+
+    @property
+    def _old(self) -> str:
+        return f"{self.state_dir}__old"
+
+    def _valid(self, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    def _recover(self) -> None:
+        """Repair an interrupted swap (idempotent, called before every
+        read/exists/upsert). Exactly one of three states is possible:
+        swap never started (no-op), crashed mid-swap (state missing,
+        old present → roll back), or crashed after the swap before
+        cleanup (both present → finish the cleanup)."""
+        if not self._valid(self.state_dir) and self._valid(self._old):
+            if os.path.exists(self.state_dir):  # a torn, _SUCCESS-less dir
+                shutil.rmtree(self.state_dir)
+            os.rename(self._old, self.state_dir)
+        elif self._valid(self.state_dir) and os.path.exists(self._old):
+            shutil.rmtree(self._old)
+
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.state_dir, "_SUCCESS"))
+        self._recover()
+        return self._valid(self.state_dir)
 
     def read(self) -> DataFrame:
+        self._recover()
         return self.spark.read.parquet(self.state_dir)
 
     def current(self) -> DataFrame:
@@ -63,20 +100,19 @@ class IncrementalSnapshot:
         merged = (
             _latest_per_key(self.read().unionByName(delta)) if self.exists() else delta
         )
-        tmp = f"{self.state_dir}__stage_{uuid.uuid4().hex[:8]}"
         # the state relation is bounded by live-key cardinality, not by
         # stream volume — collapse the post-agg shuffle partitions so
         # each swap writes a few right-sized files instead of
         # shuffle.partitions shards (coalesce is narrow: no extra
         # shuffle). A 100 TB deployment would partition this by entity
         # and date instead; the per-call knob keeps the same shape.
-        merged.coalesce(4).write.mode("overwrite").parquet(tmp)
-        old = f"{self.state_dir}__old_{uuid.uuid4().hex[:8]}"
+        # mode=overwrite also clears any stage dir a crash left behind.
+        merged.coalesce(4).write.mode("overwrite").parquet(self._stage)
         if os.path.exists(self.state_dir):
-            os.rename(self.state_dir, old)
-        os.rename(tmp, self.state_dir)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+            os.rename(self.state_dir, self._old)
+        os.rename(self._stage, self.state_dir)
+        if os.path.exists(self._old):
+            shutil.rmtree(self._old)
 
     def attach(self, change_stream: DataFrame, checkpoint: str):
         """Maintain the snapshot from a streaming change feed."""

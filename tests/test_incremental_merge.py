@@ -37,6 +37,48 @@ def test_incremental_equals_batch_multi_epoch(spark, tmp_path):
     assert _state_rows(snap) == _flagship_rows(spark)
 
 
+def test_crash_between_renames_recovers(spark, tmp_path, monkeypatch):
+    """Kill the swap between ``state → old`` and ``stage → state``:
+    the next access must still see the full prior state (rolled back
+    from ``__old``), and replaying the interrupted batch — which is
+    what the streaming checkpoint does, since the epoch never
+    committed — must converge to the batch answer. This was the
+    round-1/2 exactly-once gap: a crash in that window left no state
+    dir at all while the checkpoint kept earlier batches marked done."""
+    import os as _os
+
+    import pytest
+
+    import sfdc_cdc_aws_spark.streaming.merge as merge_mod
+
+    snap = IncrementalSnapshot(spark, str(tmp_path / "state"))
+    ch = changes(spark, SF)
+    snap.upsert(ch.limit(500))
+    before = _state_rows(snap)
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            return real_rename(src, dst)  # state -> old succeeds
+        raise OSError("simulated crash between renames")
+
+    monkeypatch.setattr(merge_mod.os, "rename", dying_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        snap.upsert(ch)
+    monkeypatch.setattr(merge_mod.os, "rename", real_rename)
+
+    assert not merge_mod.os.path.exists(
+        merge_mod.os.path.join(str(tmp_path / "state"), "_SUCCESS")
+    ), "precondition: the crash really did land in the no-state window"
+    assert snap.exists(), "recovery must restore the prior state"
+    assert _state_rows(snap) == before
+    snap.upsert(ch)  # checkpoint replays the interrupted batch
+    assert _state_rows(snap) == _flagship_rows(spark)
+
+
 def test_incremental_idempotent_replay(spark, tmp_path):
     """Replaying an already-applied batch must not change the state
     (at-least-once tolerance, SURVEY.md §1.5)."""
