@@ -316,6 +316,19 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_MIN = 0.01
 
+# Frequency cap on shingle posting lists: a shingle shared by p docs
+# contributes p²/2 candidate pairs, so one boilerplate 4-gram ("all
+# rights reserved here") with a million-doc posting list would emit
+# 5·10¹¹ pairs from a single index row — THE quadratic failure mode of
+# inverted-index blocking at 100 TB. Lists longer than the cap are
+# excluded from pair generation (standard stop-shingle semantics: a
+# shingle that common carries ~zero dedup signal) and the count of
+# capped lists is surfaced via an ``observe`` metric — never silently.
+# 512 is ~100× sf0.1's max list (5), so the oracle — which keeps the
+# uncapped self-join spec — is unaffected at every test SF; it also
+# bounds the per-bucket pair array to 512²/2 structs (~2 MB).
+NGRAM_POSTING_CAP = 512
+
 
 @query(
     "ngram_jaccard_dedup",
@@ -354,7 +367,13 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index groups each (lang, shingle) posting list once and emits
     intra-list pairs — the shingle pipeline evaluates once, where a
     shingle-stream self-join would evaluate it per join side. The
-    self-join formulation remains in the oracle as the semantic spec."""
+    self-join formulation remains in the oracle as the semantic spec.
+
+    Posting lists longer than NGRAM_POSTING_CAP are dropped from pair
+    generation (see the constant's comment — this bounds the Σ list²
+    term that otherwise explodes on boilerplate shingles at scale);
+    the number of capped lists rides along as the observed metric
+    ``capped_posting_lists`` on the result, at zero extra jobs."""
     d = load_table(spark, sf_dir, "documents", widen=True)
     sh = d.where(F.size(tokens_col()) >= 4).select(
         "doc_id",
@@ -374,10 +393,15 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    buckets = sh.groupBy("lang", "h").agg(ids.alias("ids"))
     inter = (
-        sh.groupBy("lang", "h")
-        .agg(ids.alias("ids"))
-        .where(F.size("ids") >= 2)
+        buckets.observe(
+            "ngram_jaccard_blocking",
+            F.sum((F.size("ids") > NGRAM_POSTING_CAP).cast("long")).alias(
+                "capped_posting_lists"
+            ),
+        )
+        .where(F.size("ids").between(2, NGRAM_POSTING_CAP))
         .select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))

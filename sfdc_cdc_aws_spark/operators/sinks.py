@@ -70,17 +70,44 @@ def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETS = 8
 
 
+def _src_fingerprint(sf_dir: str, names: tuple[str, ...]) -> str:
+    """mtime+size fingerprint of the source parquet files, so a
+    regenerated source gets a NEW bucketed table instead of silently
+    serving the stale copy (round-2 VERDICT item 7: idempotency keyed
+    on tableExists alone + a persistent metastore was a latent
+    stale-read)."""
+    import hashlib
+
+    from sfdc_cdc_aws_spark.sources.tables import table_path
+
+    h = hashlib.md5()
+    for n in names:
+        p = table_path(sf_dir, n)
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
+    return h.hexdigest()[:8]
+
+
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize orders and customer as bucketed tables on their join
-    key (idempotent per session). ``repartition(_BUCKETS, key)`` before
-    the write uses the same murmur3 hash as the bucket assignment, so
-    every task holds exactly one bucket and each bucket lands as ONE
-    sorted file — which lets the reader honor sortBy metadata too."""
+    key, idempotent per (session, source-content): the source
+    fingerprint is part of the table name, so the cache key IS the
+    data version. ``repartition(_BUCKETS, key)`` before the write uses
+    the same murmur3 hash as the bucket assignment, so every task
+    holds exactly one bucket and each bucket lands as ONE sorted
+    file — which lets the reader honor sortBy metadata too. Stale
+    fingerprint variants are dropped (table + files) as new ones
+    appear."""
     from sfdc_cdc_aws_spark.sources import load_table
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tag = f"{base}_{_src_fingerprint(sf_dir, ('orders', 'customer'))}"
     to, tc = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
     for tbl, src, key in ((to, "orders", "o_custkey"), (tc, "customer", "c_custkey")):
+        prefix = tbl.rsplit("_", 1)[0] + "_"  # e.g. orders_bkt_sf0_001_
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix) and t.name != tbl:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
         if not spark.catalog.tableExists(tbl):
             (
                 load_table(spark, sf_dir, src)
@@ -91,6 +118,9 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 .mode("overwrite")
                 .saveAsTable(tbl)
             )
+    for d in os.listdir("/tmp/sfdc_bucketed") if os.path.isdir("/tmp/sfdc_bucketed") else []:
+        if d.startswith(base + "_") and d != tag:
+            shutil.rmtree(os.path.join("/tmp/sfdc_bucketed", d), ignore_errors=True)
     return to, tc
 
 

@@ -14,7 +14,13 @@ Derivation (one CDC event per ``events`` row):
 envelope field         derivation
 ====================  =====================================================
 entityName             ``event_type``
-changeType             ``event_id % 3`` → CREATE / UPDATE / DELETE
+changeType             ``event_id % 3`` → CREATE / UPDATE / DELETE, except
+                       ``event_id % 15 == 0`` → UNDELETE (every 5th CREATE
+                       slot). UNDELETE semantics per SURVEY §7: the record
+                       is live again — every liveness predicate in the
+                       engine is ``change_type <> 'DELETE'``, so UNDELETE
+                       behaves exactly like CREATE without losing the
+                       marker (reference declares it TBD, README.md:14)
 recordIds              ``[fmt(user_id)]``; every 5th event also carries a
                        second id ``fmt(user_id + 1_000_000)`` (exercises
                        the explode fan-out, app.py:66)
@@ -88,7 +94,10 @@ ID_FMT = "00D%015d"
 
 def _change_type(col):
     return (
-        F.when(col % 3 == 0, "CREATE").when(col % 3 == 1, "UPDATE").otherwise("DELETE")
+        F.when(col % 15 == 0, "UNDELETE")
+        .when(col % 3 == 0, "CREATE")
+        .when(col % 3 == 1, "UPDATE")
+        .otherwise("DELETE")
     )
 
 
@@ -186,9 +195,10 @@ changes AS (
   SELECT event_type AS entity_name,
          printf('00D%015d', uid) AS record_id,
          uid,
-         CASE event_id % 3 WHEN 0 THEN 'CREATE'
-                           WHEN 1 THEN 'UPDATE'
-                           ELSE 'DELETE' END AS change_type,
+         CASE WHEN event_id % 15 = 0 THEN 'UNDELETE'
+              WHEN event_id % 3 = 0 THEN 'CREATE'
+              WHEN event_id % 3 = 1 THEN 'UPDATE'
+              ELSE 'DELETE' END AS change_type,
          epoch_ms(ts) AS commit_ts_ms,
          event_id AS replay_id,
          event_id AS commit_number
@@ -206,9 +216,10 @@ EVENTS_HEADER_CTE = """
 headers AS (
   SELECT event_id,
          event_type AS entity_name,
-         CASE event_id % 3 WHEN 0 THEN 'CREATE'
-                           WHEN 1 THEN 'UPDATE'
-                           ELSE 'DELETE' END AS change_type,
+         CASE WHEN event_id % 15 = 0 THEN 'UNDELETE'
+              WHEN event_id % 3 = 0 THEN 'CREATE'
+              WHEN event_id % 3 = 1 THEN 'UPDATE'
+              ELSE 'DELETE' END AS change_type,
          epoch_ms(ts) AS commit_ts_ms,
          event_id AS replay_id,
          event_id AS commit_number,

@@ -34,6 +34,35 @@ REPLAY_FROM_EARLIEST = -2  # EmpConnector.java:103
 REPLAY_FROM_TIP = -1  # EmpConnector.java:104
 
 
+class AuthError(RuntimeError):
+    """Authentication failed and re-authentication did not recover it
+    (the terminal branch of EmpConnector's 401/403 handling)."""
+
+
+# The reauth seam (EmpConnector.java:322-346: 401/403 listeners force
+# reauthenticate + resubscribe; BearerTokenProvider.java:14-40): a
+# *token provider* is registered by name and referenced from the
+# source's string-only option map — the same indirection a real
+# deployment uses (credentials config, not credentials in the plan).
+# ``provider()`` returns a fresh token; ``validator(token)`` says
+# whether it is still accepted (a prod impl checks expiry / probes the
+# endpoint; tests flip it to simulate mid-stream 401s).
+_TOKEN_PROVIDERS: dict[str, tuple[Callable[[], str], Callable[[str], bool]]] = {}
+
+
+def register_token_provider(
+    name: str,
+    provider: Callable[[], str],
+    validator: Callable[[str], bool] | None = None,
+) -> None:
+    """Register at *module import time* (e.g. in a module shipped via
+    ``spark.submit.pyFiles`` and imported from a startup hook): Python
+    data-source readers are constructed in a separate worker process,
+    so the registry must be populated by imports that run there too —
+    the same reason the option map carries the provider's *name*."""
+    _TOKEN_PROVIDERS[name] = (provider, validator or (lambda _t: True))
+
+
 def _scan_landing(path: str) -> list[tuple[int, str, str]]:
     """Read every wire record under the landing dir → sorted
     [(replay_id, partitionKey, data)]. Driver-side helper for the
@@ -79,6 +108,26 @@ try:  # the Python DataSource API needs pyspark >= 4
         def __init__(self, options):
             self.path = options["path"]
             self.replay_from = int(options.get("replay_from", REPLAY_FROM_EARLIEST))
+            self.auth_name = options.get("token_provider")
+            self._token: str | None = None
+
+        def _ensure_auth(self) -> None:
+            """EmpConnector.java:322-346 as a guard before every scan:
+            if the current token is no longer valid, reauthenticate
+            once and resubscribe. Because the offset (replayId) lives
+            in the checkpoint, NOT in the connection, the resubscribe
+            resumes exactly where the failed scan would have — no
+            events lost or reprocessed across an auth outage."""
+            if self.auth_name is None:  # sandbox: no auth configured
+                return
+            provider, validator = _TOKEN_PROVIDERS[self.auth_name]
+            if self._token is not None and validator(self._token):
+                return
+            self._token = provider()  # reauthenticate
+            if not validator(self._token):
+                raise AuthError(
+                    f"token provider {self.auth_name!r} returned an invalid token"
+                )
 
         def initialOffset(self):
             if self.replay_from == REPLAY_FROM_EARLIEST:
@@ -89,12 +138,14 @@ try:  # the Python DataSource API needs pyspark >= 4
             return {"replay_id": self.replay_from}
 
         def read(self, start: dict):
+            self._ensure_auth()
             last = start["replay_id"]
             rows = [r for r in _scan_landing(self.path) if r[0] > last]
             end = {"replay_id": rows[-1][0] if rows else last}
             return iter(rows), end
 
         def readBetweenOffsets(self, start: dict, end: dict):
+            self._ensure_auth()
             return iter(
                 r
                 for r in _scan_landing(self.path)

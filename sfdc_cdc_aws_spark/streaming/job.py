@@ -45,11 +45,24 @@ WIRE_SCHEMA = T.StructType(
 )
 
 
+# bump when the envelope derivation changes (e.g. v2: UNDELETE added
+# to the changeType mapping) — the landing cache key includes it plus
+# the source parquet's mtime+size, so neither a code change nor a
+# regenerated source can serve a stale wire feed
+_FEED_REV = "v2"
+
+
 def ensure_landing(spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_cdc_landing") -> str:
     """Materialize the wire-format landing dir for a scale factor
-    (idempotent per process lifetime): one JSON line per CDC event,
-    shaped like a Kinesis record."""
-    name = os.path.basename(sf_dir.rstrip("/"))
+    (idempotent per (feed revision, source content)): one JSON line
+    per CDC event, shaped like a Kinesis record."""
+    from sfdc_cdc_aws_spark.sources.tables import table_path
+
+    st = os.stat(table_path(sf_dir, "events"))
+    name = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_FEED_REV}"
+        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+    )
     out = os.path.join(base, name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         env = envelopes(spark, sf_dir)
@@ -194,6 +207,29 @@ def run_available_now(
     spark.catalog.dropTempView(qname)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+def sink_to_console(
+    stream_df: DataFrame,
+    num_rows: int = 20,
+    truncate: bool = True,
+    checkpoint: str | None = None,
+):
+    """S9 — the debug/console sink: the reference prints each record
+    and each SOQL result to stdout while developing (app.py:92-93,
+    :110-111); Spark's equivalent is ``format("console")``, which
+    renders every micro-batch on the driver. Debug-only by
+    construction (rows are collected to the driver to print), which
+    is why it's a thin wrapper and not part of any production path."""
+    w = (
+        stream_df.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", str(truncate).lower())
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
 
 
 def sink_to_lake(ch: DataFrame, snapshot: DataFrame, out_dir: str, checkpoint: str):

@@ -1,0 +1,52 @@
+"""Scale-safety of the inverted-index blocking in ngram_jaccard_dedup.
+
+Driver testdata has no pathological shingles (max posting list = 5 at
+sf0.1), so the frequency cap never fires there and oracle parity
+proves the uncapped semantics. This fixture IS pathological: one
+boilerplate 4-gram shared by more docs than NGRAM_POSTING_CAP, which
+uncapped would emit ~n²/2 candidate pairs from a single index row.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from sfdc_cdc_aws_spark.operators.dedup import NGRAM_POSTING_CAP, ngram_jaccard_dedup
+
+N_HOT = NGRAM_POSTING_CAP + 88  # posting list above the cap
+
+
+def _write_documents(path):
+    rows = []
+    # hot block: every doc contains the same boilerplate 4-gram plus
+    # doc-unique tokens, so each hot pair shares exactly that shingle
+    for i in range(N_HOT):
+        rows.append((i, f"common boiler plate legal uniq{i} filler{i} tail{i} end{i}"))
+    # one genuine near-dup pair on a rare shingle
+    rows.append((10_000, "rare quartz marble zephyr"))
+    rows.append((10_001, "rare quartz marble zephyr"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array(["en"] * len(rows), type=pa.string()),
+            "source": pa.array(["fixture"] * len(rows), type=pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(path / "documents.parquet"))
+
+
+def test_posting_cap_bounds_pair_explosion(spark, tmp_path):
+    _write_documents(tmp_path)
+    got = ngram_jaccard_dedup(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    # the rare-shingle near-dup pair survives (jaccard = 1.0)
+    assert (10_000, 10_001) in pairs
+    # the boilerplate shingle's ~N_HOT²/2 pairs are capped away: every
+    # hot pair shares ONLY the capped shingle, so none may appear
+    hot_pairs = [p for p in pairs if p[0] < N_HOT and p[1] < N_HOT]
+    assert hot_pairs == [], f"cap failed: {len(hot_pairs)} boilerplate pairs leaked"
+    # total candidate work is the rare bucket only — bounded, not n²
+    assert len(got) == 1

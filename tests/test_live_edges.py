@@ -186,3 +186,53 @@ def test_cdc_wire_stream_picks_up_new_files(spark, tmp_path):
         f.write(js.dumps(rec) + "\n")
     second = drain()
     assert second == first + [top + 1]
+
+
+def test_reauth_resumes_from_stored_replay_id(spark):
+    """Mid-stream auth failure → reauthenticate → resubscribe, resuming
+    from the stored replayId (EmpConnector.java:322-346 + the
+    ReplayExtension contract): no events lost, none reprocessed, and
+    the provider is called exactly once per (re)authentication."""
+    from sfdc_cdc_aws_spark.sources.live import (
+        AuthError,
+        _WireStreamReader,
+        register_token_provider,
+    )
+
+    landing = ensure_landing(spark, SF)
+    state = {"issued": 0, "expired": False}
+    register_token_provider(
+        "test_bearer",
+        provider=lambda: (state.update(issued=state["issued"] + 1, expired=False),
+                          f"tok{state['issued']}")[1],
+        validator=lambda tok: not state["expired"],
+    )
+    reader = _WireStreamReader(
+        {"path": landing, "token_provider": "test_bearer"}
+    )
+    start = reader.initialOffset()
+    rows1, mid = reader.read(start)
+    rows1 = list(rows1)
+    assert rows1 and state["issued"] == 1
+
+    # simulate the 401: token expires between micro-batches...
+    state["expired"] = True
+    # ...but a fresh landing scan happens only after reauth succeeds
+    rows2, end = reader.read(mid)
+    assert state["issued"] == 2, "expired token must force exactly one reauth"
+    # the offset lived in the checkpoint, not the connection: resuming
+    # from `mid` delivers nothing new and reprocesses nothing
+    assert list(rows2) == []
+    assert end == mid
+
+    # full replay across the auth boundary is still exactly-once
+    all_ids = [r[0] for r in rows1]
+    assert sorted(all_ids) == sorted(set(all_ids))
+
+    # terminal branch: provider that keeps returning invalid tokens
+    register_token_provider(
+        "test_bad", provider=lambda: "dead", validator=lambda tok: False
+    )
+    bad = _WireStreamReader({"path": landing, "token_provider": "test_bad"})
+    with pytest.raises(AuthError):
+        bad.read(bad.initialOffset())

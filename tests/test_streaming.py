@@ -118,3 +118,18 @@ def test_tumbling_window_counts_match_batch(spark):
         .collect()
     )
     assert got == want
+
+
+def test_console_sink_drains(spark, tmp_path):
+    """S9 smoke: the console debug sink consumes the whole feed and
+    terminates (output goes to driver stdout by design)."""
+    from sfdc_cdc_aws_spark.streaming.job import ensure_landing, sink_to_console
+
+    landing = ensure_landing(spark, "/root/testdata/sf0.001")
+    q = sink_to_console(
+        changes_stream(spark, landing),
+        num_rows=5,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
