@@ -1,0 +1,195 @@
+"""Training-data ASSEMBLY operators — the stage after cleaning/dedup
+where a corpus becomes model input: sequence packing, mixture
+sampling, and embedding quantization.
+
+These extend the reference's surface in the LLM-pipeline dimension
+(SURVEY.md §2.9 charter): the reference ships records to a lake
+(worker/app.py:103-109); a training pipeline additionally has to
+*assemble* those records into token-budgeted sequences, sample them
+to a target source mixture, and compress embedding side-cars for
+serving. All three are deterministic (hash-seeded), so each has an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.operators.text import (
+    _DUCK_TOKENS,
+    DUCK_HASH64,
+    shared_hash64,
+    tokens_col,
+)
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+
+PACK_CAP = 256  # token budget per packed sequence (bin)
+PACK_SHARDS = 4  # packing parallelism within a source
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source, doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT source, shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS acc
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN p.acc + t.n_tokens <= {PACK_CAP}
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.acc + t.n_tokens <= {PACK_CAP}
+              THEN p.acc + t.n_tokens ELSE t.n_tokens END
+  FROM pack p
+  JOIN toks t ON t.source = p.source AND t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id, source, shard, n_tokens, bin_id FROM pack
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: within each (source, shard), walk docs
+    in doc_id order and append each to the current bin while the
+    running token count stays ≤ PACK_CAP, else open a new bin (an
+    oversize doc gets a bin of its own). This is the first-fit packing
+    every pretraining pipeline runs to turn ragged documents into
+    fixed-budget context windows with minimal padding.
+
+    Scale design: packing is inherently sequential *within* a pack
+    unit, so the unit is (source, shard) — shard = doc_id %
+    PACK_SHARDS — making the sequential span Θ(rows/sources/shards)
+    and the units embarrassingly parallel; ``applyInPandas`` runs one
+    Arrow-batched greedy scan per unit (a few integer ops per row —
+    the narrow-waist case where per-group Python is fine), and the
+    only shuffle is the groupBy that co-locates each unit. The oracle
+    states the same spec as a recursive CTE."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens_col()).cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, bin_id, acc = [], 0, None
+        for nt in pdf["n_tokens"]:
+            if acc is None:  # first doc in the unit
+                acc = nt
+            elif acc + nt <= PACK_CAP:
+                acc += nt
+            else:
+                bin_id, acc = bin_id + 1, nt
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "source", "shard", "n_tokens", "bin_id"]]
+
+    return toks.groupBy("source", "shard").applyInPandas(
+        pack, "doc_id long, source string, shard long, n_tokens long, bin_id long"
+    )
+
+
+# target mixture: keep-rate in permille per source, derived from the
+# source's numeric suffix so the spec is engine-independent — sources
+# cycle through 50/100/150/200 permille
+_MIX_PERMILLE = "(({src_num} % 4 + 1) * 50)"
+
+
+@query(
+    "source_mixture_sample",
+    oracle=f"""
+SELECT doc_id, source, keep_permille FROM (
+  SELECT doc_id, source,
+         CAST({_MIX_PERMILLE.format(src_num="CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)")} AS BIGINT)
+           AS keep_permille,
+         ({DUCK_HASH64.format(expr="'mix:' || CAST(doc_id AS VARCHAR)")}) % 1000 AS h
+  FROM documents
+) WHERE h < keep_permille
+""",
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling: each source gets a target
+    keep-rate (the training-mixture weight) and each doc keeps or
+    drops by a salted content hash — so the sample is reproducible
+    across runs, engines, and cluster sizes, and composes with
+    incremental ingestion (a doc's fate never depends on what else is
+    in the batch). Pure map-side filter: no shuffle, no state, scales
+    to any corpus size; changing the mixture is a literal edit, not a
+    re-shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint")
+    keep = ((src_num % 4 + 1) * 50).cast("bigint")
+    h = shared_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1000
+    return (
+        d.select("doc_id", "source", keep.alias("keep_permille"), h.alias("h"))
+        .where(F.col("h") < F.col("keep_permille"))
+        .drop("h")
+    )
+
+
+QUANT_PROBE_DIMS = 8  # dims exposed to the oracle check per vector
+
+
+@query(
+    "vector_quantize_int8",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+m AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) AS maxabs
+  FROM v
+)
+SELECT m.vec_id AS vec_id, gs.i - 1 AS idx,
+       CASE WHEN m.maxabs = 0 THEN 0
+            ELSE CAST(round(m.emb[gs.i] * 127.0 / m.maxabs, 0) AS BIGINT)
+       END AS qval,
+       round(m.maxabs / 127.0, 6) AS scale
+FROM m, generate_series(1, {QUANT_PROBE_DIMS}) gs(i)
+""",
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column:
+    scale = maxabs/127, q_i = round(x_i/scale) — the 4× memory/IO
+    compression every large-scale ANN index applies before serving.
+    All narrow column expressions (one ``aggregate`` fold for maxabs,
+    one ``transform`` for the quantized array): zero shuffle, zero
+    Python. The result exposes the first QUANT_PROBE_DIMS quantized
+    values per vector via ``posexplode`` so the oracle can hash-check
+    exact integers (full-array string comparison is representation-
+    fragile across engines)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    maxabs = F.aggregate(
+        emb, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    # maxabs is a named column before the quantize transform so the
+    # fold evaluates once per vector, not once per element
+    base = e.select("vec_id", emb.alias("emb"), maxabs.alias("maxabs"))
+    q = F.transform(
+        F.slice(F.col("emb"), 1, QUANT_PROBE_DIMS),
+        lambda x: F.when(F.col("maxabs") == 0, F.lit(0).cast("bigint")).otherwise(
+            F.round(x * 127.0 / F.col("maxabs"), 0).cast("bigint")
+        ),
+    )
+    return (
+        base.select(
+            "vec_id",
+            F.round(F.col("maxabs") / 127.0, 6).alias("scale"),
+            q.alias("qs"),
+        )
+        .select("vec_id", "scale", F.posexplode("qs").alias("idx", "qval"))
+        .select("vec_id", "idx", "qval", "scale")
+    )
