@@ -428,6 +428,23 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERS = 15
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut the iterative loop's growing lineage. Default is
+    ``localCheckpoint`` (executor-memory blocks — fast, but lost with
+    an executor, acceptable on local[*]); set
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` to switch to a *reliable*
+    ``checkpoint`` so a 1000-executor run survives executor loss
+    mid-iteration — the knob flagged open since round 1."""
+    import os
+
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
@@ -460,16 +477,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than silently stopping early. The oracle replays the same
     fixpoint as a recursive CTE."""
     pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .localCheckpoint()
+    edges = _truncate_lineage(
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst")
     )
-    labels = (
+    labels = _truncate_lineage(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     prev_sum = None
     for _ in range(MAX_CC_ITERS):
@@ -478,7 +492,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = _truncate_lineage(
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
                 "node",
@@ -486,7 +500,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         # labels can only decrease, so an unchanged label-sum between
         # iterations is a fixpoint — one cheap aggregate per step

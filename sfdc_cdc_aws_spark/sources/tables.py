@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -76,7 +77,16 @@ def load_table(
     _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in _NANOS_COLS.get(name, ()):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # the driver writes events.ts as TIMESTAMP(NANOS), which the
+        # nanosAsLong conf surfaces as a long → convert ns→µs; a
+        # REGENERATED source may carry a plain µs timestamp instead,
+        # in which case there is nothing to convert — branch on the
+        # actual physical type rather than assuming the driver's
+        if isinstance(df.schema[c].dataType, (T.LongType, T.IntegerType)):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            # session TZ is UTC, so NTZ → instant is identity
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if widen:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

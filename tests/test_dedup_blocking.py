@@ -50,3 +50,20 @@ def test_posting_cap_bounds_pair_explosion(spark, tmp_path):
     assert hot_pairs == [], f"cap failed: {len(hot_pairs)} boilerplate pairs leaked"
     # total candidate work is the rare bucket only — bounded, not n²
     assert len(got) == 1
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_DIR switches lineage truncation from
+    localCheckpoint (executor memory) to a reliable checkpoint dir —
+    same answer, and the dir actually receives checkpoint data."""
+    import os
+
+    from sfdc_cdc_aws_spark.operators.dedup import dedup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(tuple(r) for r in dedup_clusters(spark, sf).collect())
+    ckpt = tmp_path / "cc_ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckpt))
+    got = sorted(tuple(r) for r in dedup_clusters(spark, sf).collect())
+    assert got == base
+    assert any(os.scandir(ckpt)), "reliable checkpoint dir must be used"

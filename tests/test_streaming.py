@@ -133,3 +133,27 @@ def test_console_sink_drains(spark, tmp_path):
     )
     q.awaitTermination()
     assert q.lastProgress is not None
+
+
+def test_landing_cache_invalidated_by_source_change(spark, tmp_path):
+    """The wire landing dir is keyed on (feed revision, source
+    mtime+size): regenerating events.parquet must produce a fresh
+    landing dir, not serve the stale wire feed."""
+    import shutil as _sh
+
+    from sfdc_cdc_aws_spark.streaming.job import ensure_landing
+
+    sf_dir = tmp_path / "sfY"
+    sf_dir.mkdir()
+    _sh.copy("/root/testdata/sf0.001/events.parquet", sf_dir / "events.parquet")
+    first = ensure_landing(spark, str(sf_dir))
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{sf_dir}/events.parquet') "
+        f"WHERE event_id % 2 = 0) TO '{sf_dir}/events.parquet' (FORMAT PARQUET)"
+    )
+    second = ensure_landing(spark, str(sf_dir))
+    assert second != first, "stale landing dir served after source regeneration"
