@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 
 from sfdc_cdc_aws_spark.operators.text import (
     _DUCK_TOKENS,
+    _LANG_MARKERS,
+    _STOPWORDS,
+    _duck_marker_count,
     DUCK_HASH64,
     shared_hash64,
     tokens_col,
@@ -192,4 +195,114 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "scale", F.posexplode("qs").alias("idx", "qval"))
         .select("vec_id", "idx", "qval", "scale")
+    )
+
+
+# ---------------------------------------------------------------------------
+# composed end-to-end cleaning pipeline
+# ---------------------------------------------------------------------------
+
+CLEAN_MIN_TOKENS = 5
+CLEAN_MAX_PUNCT = 0.1
+CLEAN_MIN_STOP = 0.02
+
+_CLEAN_PRED = """
+CASE WHEN n_en + n_de + n_es + n_fr = 0 THEN 'und'
+     WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+     WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+     WHEN n_es >= n_fr THEN 'es'
+     ELSE 'fr' END
+""".strip()
+
+
+@query(
+    "corpus_clean_manifest",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_DUCK_TOKENS} AS toks,
+         length(text) AS len_chars,
+         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct,
+         {_duck_marker_count(_LANG_MARKERS['en'])} AS n_en,
+         {_duck_marker_count(_LANG_MARKERS['de'])} AS n_de,
+         {_duck_marker_count(_LANG_MARKERS['es'])} AS n_es,
+         {_duck_marker_count(_LANG_MARKERS['fr'])} AS n_fr
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         {_CLEAN_PRED} AS pred_lang
+  FROM t
+  WHERE len(toks) >= {CLEAN_MIN_TOKENS}
+    AND CAST(n_punct AS DOUBLE) / len_chars <= {CLEAN_MAX_PUNCT}
+    AND CAST(len(list_filter(toks, x -> x IN {_STOPWORDS})) AS DOUBLE)
+          / len(toks) >= {CLEAN_MIN_STOP}
+    AND ({_CLEAN_PRED}) <> 'und'
+),
+k AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper
+  FROM f
+)
+SELECT doc_id, source, pred_lang, n_tokens FROM k
+WHERE doc_id = keeper
+  AND ({DUCK_HASH64.format(expr="'mix:' || CAST(doc_id AS VARCHAR)")}) % 1000
+        < CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 * 50 + 50
+""",
+)
+def corpus_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE cleaning pipeline as ONE declarative plan — the
+    CCNet-shaped sequence every pretraining corpus goes through:
+    quality gate (token count / punctuation / stop-word ratios) →
+    language gate → exact dedup (keep lowest doc_id per normalized
+    content hash) → mixture sampling. Stage ordering is the 100 TB
+    ordering: every narrow filter runs *before* the pipeline's single
+    shuffle (the dedup window on the content hash), so the shuffle
+    carries only surviving docs; Catalyst fuses all four gate
+    expressions into the scan stage. The same pipeline as chained
+    per-stage jobs would shuffle the full corpus once per stage."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+
+    def marker(ws: tuple[str, ...]):
+        return F.size(F.filter(t, lambda x: x.isin(*ws)))
+
+    n = {k: marker(ws) for k, ws in _LANG_MARKERS.items()}
+    pred = (
+        F.when(n["en"] + n["de"] + n["es"] + n["fr"] == 0, "und")
+        .when((n["en"] >= n["de"]) & (n["en"] >= n["es"]) & (n["en"] >= n["fr"]), "en")
+        .when((n["de"] >= n["es"]) & (n["de"] >= n["fr"]), "de")
+        .when(n["es"] >= n["fr"], "es")
+        .otherwise("fr")
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), r"[a-z0-9\s]", "")).cast("double")
+        / F.length("text")
+    )
+    stop_ratio = (
+        F.size(F.filter(t, lambda x: x.isin(*_STOPWORDS))).cast("double") / F.size(t)
+    )
+    f = d.where(
+        (F.size(t) >= CLEAN_MIN_TOKENS)
+        & (punct_ratio <= CLEAN_MAX_PUNCT)
+        & (stop_ratio >= CLEAN_MIN_STOP)
+        & (pred != "und")
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        pred.alias("pred_lang"),
+    )
+    from pyspark.sql import Window
+
+    keeper = F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    )
+    src_num = F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint")
+    h = shared_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1000
+    return (
+        f.withColumn("_keeper", keeper)
+        .where(F.col("doc_id") == F.col("_keeper"))
+        .where(h < src_num % 4 * 50 + 50)
+        .select("doc_id", "source", "pred_lang", "n_tokens")
     )

@@ -157,3 +157,30 @@ def test_bucketed_join_has_no_join_shuffle(spark):
     assert plan.count("Bucketed: true") == 2
     assert "SortMergeJoin" in join_kinds(df)
     assert exchange_count(df) == 1
+
+
+def test_corpus_clean_manifest_single_shuffle(spark):
+    """The composed cleaning pipeline must keep all gates narrow: its
+    only exchange is the dedup window's hash partitioning — quality,
+    language, and mixture filters fuse into the scan stage."""
+    df = _df(spark, "corpus_clean_manifest")
+    assert exchange_count(df) == 1
+    assert any("text" in s for s in read_schemas(df))
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing shuffles once (groupBy source+shard co-location); the
+    token counting is narrow."""
+    df = _df(spark, "pack_sequences")
+    assert exchange_count(df) == 1
+
+
+def test_mixture_sample_no_shuffle(spark):
+    """Mixture sampling is a pure map-side filter."""
+    df = _df(spark, "source_mixture_sample")
+    assert exchange_count(df) == 0
+
+
+def test_vector_quantize_no_shuffle(spark):
+    df = _df(spark, "vector_quantize_int8")
+    assert exchange_count(df) == 0
