@@ -82,8 +82,18 @@ def parse_wire(df: DataFrame) -> DataFrame:
     """Wire records → flat change feed. Works identically on a static
     or streaming DataFrame — this is the single definition of the
     decode→parse→extract→explode front half of the worker
-    (app.py:48-66), shared by both modes."""
-    env = F.from_json(F.unbase64(F.col("data")).cast("string"), ENVELOPE_SCHEMA)
+    (app.py:48-66), shared by both modes.
+
+    Decoding is the lenient ``try_to_binary``: Spark 4's ``unbase64``
+    THROWS on malformed base64, so one poison record would kill the
+    whole streaming query (the reference has the same failure mode —
+    no error handling in app.py:48-62 means Kinesis redelivers the
+    poison batch forever). Here a malformed record nulls out and the
+    ``explode`` drops it; callers that must account for every record
+    route through :func:`split_corrupt` first."""
+    env = F.from_json(
+        F.expr("try_to_binary(data, 'base64')").cast("string"), ENVELOPE_SCHEMA
+    )
     h = env["payload"]["ChangeEventHeader"]
     exploded = df.select(
         h["entityName"].alias("entity_name"),
@@ -96,6 +106,31 @@ def parse_wire(df: DataFrame) -> DataFrame:
     return exploded.withColumn(
         "uid", F.substring("record_id", 4, 15).cast("bigint")
     ).withColumn("commit_ts", F.timestamp_millis(F.col("commit_ts_ms")))
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(parsed-able, dead_letter): wire records whose envelope fails
+    base64/JSON decoding or lacks the fields the pipeline keys on
+    (recordIds, replayId) are quarantined with their raw payload
+    intact instead of vanishing. Without this, ``parse_wire``'s
+    ``explode(recordIds)`` silently drops any record ``from_json``
+    nulled out — and the reference is worse: app.py:48-62 has no error
+    handling at all, so one poison record fails the whole Lambda batch
+    and Kinesis redelivers it forever. Route the dead-letter side to
+    its own sink and alert on its rate."""
+    env = F.from_json(
+        F.expr("try_to_binary(data, 'base64')").cast("string"), ENVELOPE_SCHEMA
+    )
+    ok = (
+        env.isNotNull()
+        & env["event"]["replayId"].isNotNull()
+        & (F.size(env["payload"]["ChangeEventHeader"]["recordIds"]) > 0)
+    )
+    flagged = df.withColumn("_env_ok", ok)
+    return (
+        flagged.where(F.col("_env_ok")).drop("_env_ok"),
+        flagged.where(~F.coalesce(F.col("_env_ok"), F.lit(False))).drop("_env_ok"),
+    )
 
 
 PROD_DEDUP_HORIZON = "24 hours"  # ≙ Kinesis retention, subscriber.yaml:39-40

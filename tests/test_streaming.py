@@ -157,3 +157,41 @@ def test_landing_cache_invalidated_by_source_change(spark, tmp_path):
     )
     second = ensure_landing(spark, str(sf_dir))
     assert second != first, "stale landing dir served after source regeneration"
+
+
+def test_split_corrupt_quarantines_poison_records(spark):
+    """Corrupt wire records (bad base64, non-JSON payload, missing
+    recordIds) land in the dead-letter side with payload intact; the
+    good side parses to exactly the same feed as the clean input."""
+    import base64 as b64
+    import json as js
+
+    from sfdc_cdc_aws_spark.streaming.job import parse_wire, split_corrupt
+
+    landing = ensure_landing(spark, "/root/testdata/sf0.001")
+    clean = spark.read.json(landing)
+    n_clean = clean.count()
+
+    poison = spark.createDataFrame(
+        [
+            ("p1", "!!!not-base64!!!"),
+            ("p2", b64.b64encode(b"this is not json").decode()),
+            (
+                "p3",
+                b64.b64encode(
+                    js.dumps(
+                        {"schema": "x", "payload": {"ChangeEventHeader": {}},
+                         "event": {"replayId": 1}}
+                    ).encode()
+                ).decode(),
+            ),
+        ],
+        "partitionKey string, data string",
+    )
+    mixed = clean.unionByName(poison)
+    good, bad = split_corrupt(mixed)
+    assert good.count() == n_clean
+    assert bad.count() == 3
+    assert {r["partitionKey"] for r in bad.collect()} == {"p1", "p2", "p3"}
+    # the good side parses identically to the clean feed
+    assert parse_wire(good).count() == parse_wire(clean).count()
