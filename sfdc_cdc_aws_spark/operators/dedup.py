@@ -38,6 +38,10 @@ P31 = 2_147_483_647  # Mersenne prime 2^31-1: keeps a*x+b inside int64
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
+# cap on LSH bucket membership before pair expansion — see
+# minhash_lsh_dedup's docstring; ~100x any bucket the driver corpora
+# produce, so oracles are unaffected at every test SF
+MINHASH_BUCKET_CAP = 512
 
 
 def _spark_hash31(col: Column) -> Column:
@@ -207,7 +211,15 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs without a cross join. 16 hashes in 4 bands of 4 ⇒ a pair
     with Jaccard j collides with prob 1-(1-j⁴)⁴. The self-join runs on
     (band_id, bucket) — at scale that is a shuffle of the small
-    signature relation only, with Σ bucket² bounded by band width."""
+    signature relation only, with Σ bucket² bounded by band width.
+
+    Buckets wider than MINHASH_BUCKET_CAP are excluded from pair
+    generation (observed as ``capped_buckets``, never silently): a
+    bucket only grows pathologically when *many* docs share a whole
+    band of minhashes — i.e. boilerplate/identical content whose
+    dedup belongs to the cheaper ``exact_dedup_docs`` pass upstream,
+    not to an O(bucket²) pair expansion that would also materialize
+    the bucket's id list as one row (the 2^31 array ceiling)."""
     sig = minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -239,7 +251,13 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bands.groupBy("band_id", "bucket")
         .agg(ids.alias("ids"))
-        .where(F.size("ids") >= 2)
+        .observe(
+            "minhash_lsh_blocking",
+            F.sum((F.size("ids") > MINHASH_BUCKET_CAP).cast("long")).alias(
+                "capped_buckets"
+            ),
+        )
+        .where(F.size("ids").between(2, MINHASH_BUCKET_CAP))
         .select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))

@@ -67,3 +67,40 @@ def test_dedup_clusters_reliable_checkpoint(spark, tmp_path, monkeypatch):
     got = sorted(tuple(r) for r in dedup_clusters(spark, sf).collect())
     assert got == base
     assert any(os.scandir(ckpt)), "reliable checkpoint dir must be used"
+
+
+def test_minhash_bucket_cap_on_identical_docs(spark, tmp_path):
+    """A corpus of >cap identical docs collapses into one LSH bucket
+    per band; those buckets must be capped away (their dedup belongs
+    to exact_dedup_docs) while distinct near-dup pairs still surface."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sfdc_cdc_aws_spark.operators.dedup import (
+        MINHASH_BUCKET_CAP,
+        minhash_lsh_dedup,
+    )
+
+    n_same = MINHASH_BUCKET_CAP + 40
+    rows = [(i, "identical boiler plate text repeated verbatim everywhere") for i in range(n_same)]
+    # a duplicate pair with its own content: lands in its own size-2
+    # bucket in every band (deterministic collision), far below the cap
+    rows += [
+        (20_000, "rare quartz marble zephyr obsidian lattice prism"),
+        (20_001, "rare quartz marble zephyr obsidian lattice prism"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array(["en"] * len(rows), type=pa.string()),
+            "source": pa.array(["fixture"] * len(rows), type=pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_dedup(spark, str(tmp_path)).collect()}
+    assert (20_000, 20_001) in got, "near-dup pair must survive the cap"
+    assert not any(a < n_same and b < n_same for a, b in got), (
+        "identical-doc bucket pairs must be capped away"
+    )
