@@ -379,3 +379,76 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_price"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the canonical predicate-pushdown query: three
+    conjunctive range filters and no join, so the entire cost is the
+    scan. All three predicates must reach the parquet reader
+    (PushedFilters) where row-group min/max stats skip data; at 100 TB
+    with date-partitioned lineitem the shipdate range also prunes
+    partitions. A count rides along so the result is stable even when
+    the revenue sum is empty-at-small-SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle="""
+SELECT CAST(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+""",
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 — conditional aggregation over a dimension join: one
+    month of lineitem (pushed range filter) joined to part, the
+    CASE-guarded numerator and the full denominator computed in the
+    SAME partial-aggregating pass (one scan, one shuffle of two
+    partial sums). The part side broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev)
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )

@@ -184,3 +184,19 @@ def test_mixture_sample_no_shuffle(spark):
 def test_vector_quantize_no_shuffle(spark):
     df = _df(spark, "vector_quantize_int8")
     assert exchange_count(df) == 0
+
+
+def test_tpch_q6_pushes_all_filters(spark):
+    """Q6 is pure scan: every range predicate must reach the parquet
+    reader."""
+    df = _df(spark, "tpch_q6_forecast_revenue")
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    assert has_partial_aggregate(df)
+
+
+def test_tpch_q14_broadcasts_part(spark):
+    df = _df(spark, "tpch_q14_promo_effect")
+    assert "BroadcastHashJoin" in join_kinds(df)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
