@@ -200,3 +200,14 @@ def test_tpch_q14_broadcasts_part(spark):
     df = _df(spark, "tpch_q14_promo_effect")
     assert "BroadcastHashJoin" in join_kinds(df)
     assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_tpch_q19_factors_disjunction_into_both_scans(spark):
+    """The OR-of-conjunctions mixes columns from both join sides;
+    Catalyst must factor the single-side implications out so EACH scan
+    gets a pushable disjunction (naive handling scans both in full)."""
+    df = _df(spark, "tpch_q19_disjunctive_pushdown")
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed
+    assert "p_brand" in pushed and "p_size" in pushed
+    assert "BroadcastHashJoin" in join_kinds(df)
