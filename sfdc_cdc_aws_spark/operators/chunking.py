@@ -1,0 +1,211 @@
+"""Sub-document operators: sliding-window chunking, sentence-level
+dedup, and winnowing (MOSS-style) fingerprints.
+
+The dedup/fingerprint family in operators/dedup.py works at document
+granularity; a pretraining pipeline also needs the level below it —
+chunking long documents into model-window pieces, and finding
+duplication at sentence/passage granularity (boilerplate, quotes,
+license headers) that whole-document hashes can't see.
+
+Scale posture: everything explodes to narrow rows (doc_id, pos,
+64-bit hash ≈ 24 bytes) before any shuffle; chunk/shingle text never
+shuffles. Token arrays are materialized ONCE per document behind a
+Generate (explode) barrier — the higher-order-function re-evaluation
+trap (transform re-running the tokenizer per element, the round-1
+16× MinHash bug) cannot reach across a Generate node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.operators.text import (
+    DUCK_HASH64,
+    _DUCK_TOKENS,
+    shared_hash64,
+    tokens_col,
+)
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+
+# Model-window chunking: 64-token chunks, stride 48 (16-token overlap)
+CHUNK = 64
+STRIDE = 48
+
+# Winnowing: 4-token shingles, window 5 (guarantee: any 8-token match
+# shares a fingerprint)
+WIN_K = 4
+WIN_W = 5
+
+
+@query(
+    "chunk_overlap",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+nz AS (
+  SELECT doc_id, t,
+         CAST(ceil(greatest(len(t) - {CHUNK}, 0) / {STRIDE}.0) AS INT) + 1 AS nch
+  FROM toks WHERE len(t) >= 1
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       len(list_slice(t, i * {STRIDE} + 1, i * {STRIDE} + {CHUNK})) AS n_tokens,
+       {DUCK_HASH64.format(expr=f"array_to_string(list_slice(t, i * {STRIDE} + 1, i * {STRIDE} + {CHUNK}), ' ')")} AS chunk_hash
+FROM (SELECT doc_id, t, unnest(generate_series(0, CAST(nch - 1 AS BIGINT))) AS i
+      FROM nz)
+""",
+)
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 64-token chunks at stride 48, the
+    standard long-document → model-window fan-out. The token array is
+    computed once per document (projection below the explode barrier);
+    each output row then slices the materialized array — no
+    re-tokenization per chunk. Only (doc_id, idx, len, hash) leaves
+    the operator; chunk text stays inside the stage. Embarrassingly
+    parallel: zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", tokens_col().alias("t"))
+        .where(F.size("t") >= 1)
+        .withColumn(
+            "nch",
+            (
+                F.ceil(F.greatest(F.size("t") - CHUNK, F.lit(0)) / F.lit(float(STRIDE)))
+            ).cast("int")
+            + 1,
+        )
+    )
+    chunked = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.col("nch") - 1)).alias("chunk_idx"),
+    )
+    sl = F.slice(F.col("t"), F.col("chunk_idx") * STRIDE + 1, CHUNK)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(sl).alias("n_tokens"),
+        shared_hash64(F.array_join(sl, " ")).alias("chunk_hash"),
+    )
+
+
+@query(
+    "sentence_dedup",
+    oracle=f"""
+WITH sents AS (
+  SELECT doc_id, trim(s) AS sent
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[.!?]+')) AS s
+        FROM documents)
+  WHERE length(trim(s)) >= 20
+)
+SELECT {DUCK_HASH64.format(expr="sent")} AS sent_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occ
+FROM sents
+GROUP BY sent_hash
+HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-granularity exact dedup: split on sentence breaks,
+    normalize, hash, and report every sentence appearing in ≥2
+    distinct documents — the boilerplate/quote/license-header detector
+    that document-level dedup can't see. The shuffle carries (hash,
+    doc_id) pairs only — 16 bytes per sentence occurrence, never the
+    text. At 100 TB the HAVING filter drops the long unique tail at
+    the reducer; the surviving head (true boilerplate) is tiny."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"[.!?]+")).alias("s"),
+        )
+        .select("doc_id", F.trim("s").alias("sent"))
+        .where(F.length("sent") >= 20)
+    )
+    return (
+        sents.select(shared_hash64(F.col("sent")).alias("sent_hash"), "doc_id")
+        .groupBy("sent_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "winnow_fingerprints",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, i AS pos, len(t) - {WIN_K} + 1 AS nsh,
+         {DUCK_HASH64.format(expr="t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]")} AS h
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, CAST(len(t) - {WIN_K} + 1 AS BIGINT))) AS i
+        FROM toks WHERE len(t) >= {WIN_K})
+),
+wm AS (
+  SELECT doc_id, pos, nsh,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS fp
+  FROM sh
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= nsh - {WIN_W} + 1)
+SELECT doc_id, count(*) AS n_fps, bit_xor(fp) AS fp_xor
+FROM fps GROUP BY doc_id
+""",
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every 4-token shingle, then
+    keep the minimum hash of each 5-shingle window; the distinct
+    window-minima are the fingerprint set, guaranteeing any shared
+    run of ≥8 tokens between two documents shares a fingerprint.
+
+    Spark shape: shingles come from posexplode + 3 ``lead``s (the
+    token array materializes once behind the explode; no per-element
+    re-tokenization), the window minimum is a plain ROWS frame — all
+    JVM window machinery, no Python. The one shuffle partitions
+    24-byte (doc_id, pos, hash) rows by doc_id; shingle TEXT never
+    shuffles. Output is one (n_fps, checksum) row per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col().alias("t")).where(F.size("t") >= WIN_K)
+    ex = toks.select(
+        "doc_id",
+        (F.size("t") - WIN_K + 1).alias("nsh"),
+        F.posexplode("t").alias("pos0", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    shingle = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", i).over(w) for i in range(1, WIN_K)],
+    )
+    sh = (
+        ex.select(
+            "doc_id",
+            "nsh",
+            (F.col("pos0") + 1).alias("pos"),
+            F.lead("tok", WIN_K - 1).over(w).isNotNull().alias("full"),
+            shared_hash64(shingle).alias("h"),
+        )
+        .where(F.col("full"))
+        .drop("full")
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)
+    fps = (
+        sh.select(
+            "doc_id",
+            "pos",
+            "nsh",
+            F.min("h").over(wmin).alias("fp"),
+        )
+        .where(F.col("pos") <= F.col("nsh") - WIN_W + 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.bit_xor("fp").alias("fp_xor"),
+    )

@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.operators.pipeline",
         "sfdc_cdc_aws_spark.operators.relational",
         "sfdc_cdc_aws_spark.operators.analytics",
+        "sfdc_cdc_aws_spark.operators.tpch",
         "sfdc_cdc_aws_spark.operators.cdc_analytics",
         "sfdc_cdc_aws_spark.operators.relational2",
         "sfdc_cdc_aws_spark.operators.relational3",
@@ -60,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.operators.dedup",
         "sfdc_cdc_aws_spark.operators.similarity",
         "sfdc_cdc_aws_spark.operators.text",
+        "sfdc_cdc_aws_spark.operators.chunking",
         "sfdc_cdc_aws_spark.operators.training",
         "sfdc_cdc_aws_spark.operators.multimodal",
         "sfdc_cdc_aws_spark.streaming.job",

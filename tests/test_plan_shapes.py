@@ -211,3 +211,114 @@ def test_tpch_q19_factors_disjunction_into_both_scans(spark):
     assert "l_quantity" in pushed
     assert "p_brand" in pushed and "p_size" in pushed
     assert "BroadcastHashJoin" in join_kinds(df)
+
+
+def test_tpch_q1_single_shuffle_pushed_scan(spark):
+    """Q1 is scan + one map-side-partial agg: the date filter reaches
+    the parquet reader and the only exchange carries ~4 group rows."""
+    df = _df(spark, "tpch_q1_pricing_summary")
+    assert has_partial_aggregate(df)
+    assert exchange_count(df) == 1
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_tpch_q4_preaggregates_exists_probe(spark):
+    """The EXISTS is decorrelated into max(l_shipdate) per orderkey
+    BEFORE the join — a partial agg shrinks the probe side, instead of
+    shuffling every lineitem row into a semi-join."""
+    df = _df(spark, "tpch_q4_priority_exists")
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in join_kinds(df)
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_tpch_q7_broadcasts_nation_sides(spark):
+    """Supplier+nation and customer+nation broadcast; the only shuffle
+    join is lineitem-orders; the shipdate range is pushed."""
+    df = _df(spark, "tpch_q7_volume_shipping")
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+    assert "CartesianProduct" not in kinds
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_tpch_q8_broadcasts_all_dims(spark):
+    """Part, customer-in-region, and supplier-nation all broadcast:
+    three broadcast joins, no cartesian, orderdate pushed."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "tpch_q8_market_share")
+    assert plan_string(df).count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in join_kinds(df)
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_tpch_q13_aggregates_orders_before_join(spark):
+    """Orders collapse to (custkey, count) before touching customer —
+    the join input is one row per customer, not one per order."""
+    df = _df(spark, "tpch_q13_custdist")
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in join_kinds(df)
+
+
+def test_tpch_q15_window_after_aggregate(spark):
+    """The max-revenue window runs over the POST-aggregation relation
+    (|suppliers| rows); supplier broadcasts onto the winners."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "tpch_q15_top_supplier")
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert has_partial_aggregate(df)
+    assert "Window" in plan
+
+
+def test_tpch_q17_broadcasts_filtered_part(spark):
+    """The brand/size-filtered part side broadcasts; the per-part avg
+    is an aggregate-then-join with map-side partials."""
+    df = _df(spark, "tpch_q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in join_kinds(df)
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in join_kinds(df)
+
+
+def test_tpch_q22_anti_join_no_cartesian(spark):
+    """Dormant-customer check is a LeftAnti on custkey; the scalar
+    threshold rides a broadcast nested loop (1-row side), never a
+    cartesian product."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "tpch_q22_dormant_customers")
+    plan = plan_string(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in join_kinds(df)
+
+
+def test_chunk_overlap_no_shuffle_pruned_scan(spark):
+    """Chunking is embarrassingly parallel: zero exchanges, and the
+    scan reads only doc_id+text (no lang/source/n_chars)."""
+    df = _df(spark, "chunk_overlap")
+    assert exchange_count(df) == 0
+    schemas = read_schemas(df)
+    assert schemas and all("text" in s for s in schemas)
+    assert all("source" not in s for s in schemas)
+
+
+def test_sentence_dedup_shuffles_hashes_only(spark):
+    """The shuffle carries (sent_hash, doc_id) — sentence text stays
+    inside the map stage; the aggregate combines map-side."""
+    df = _df(spark, "sentence_dedup")
+    assert "CartesianProduct" not in join_kinds(df)
+    assert has_partial_aggregate(df)
+
+
+def test_winnow_window_min_jvm_side(spark):
+    """Winnowing runs as JVM window machinery (no Python workers):
+    lead-built shingles + ROWS-frame min, then distinct+agg."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "winnow_fingerprints")
+    plan = plan_string(df)
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in join_kinds(df)
