@@ -1,9 +1,9 @@
-"""TPC-H shapes, second batch: Q1/Q4/Q7/Q8/Q13/Q15/Q17/Q22.
+"""TPC-H shapes, second batch: Q1/Q4/Q7/Q8/Q13/Q15/Q17/Q21/Q22.
 
 Extends the Q3/Q5/Q6/Q10/Q14/Q18/Q19 set in operators/analytics.py so
 the engine covers every TPC-H query expressible over the driver's
 tables (no partsupp, no l_commitdate/l_receiptdate/l_shipmode/
-p_container — Q2/Q9/Q11/Q12/Q16/Q20/Q21 need those; Q4/Q17/Q22 run
+p_container — Q2/Q9/Q11/Q12/Q16/Q20 need those; Q4/Q17/Q21/Q22 run
 here as adapted shapes that keep the interesting plan).
 
 Same determinism discipline as analytics.py: DECIMAL-cast inputs into
@@ -484,4 +484,65 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.sum("bal").cast("double").alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 (adapted) — sole supplier at fault on multi-supplier orders
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q21_sole_fault_supplier",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""",
+)
+def tpch_q21_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the double-correlated-subquery stress test
+    (no commit/receipt dates in the driver's lineitem, so "late" is
+    l_returnflag = 'R'): returned lines on finished multi-supplier
+    orders where this supplier was the ONLY one with returns.
+
+    Both correlated subqueries decorrelate into ONE per-order
+    aggregate: EXISTS(other supplier) == distinct-supplier count > 1,
+    and NOT EXISTS(other supplier with R) == distinct-R-supplier
+    count = 1 (the probing row is itself R, so =1 pins it to this
+    supplier). The naive plan probes lineitem twice per row; this one
+    shuffles lineitem twice on orderkey (once aggregated map-side,
+    once as the R-row stream), joins them partition-local (same key —
+    the exchange is reused), and broadcasts supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    r1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        r1.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(per_order, F.col("po_orderkey") == F.col("l_orderkey"))
+        .where((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
     )

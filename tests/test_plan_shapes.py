@@ -322,3 +322,13 @@ def test_winnow_window_min_jvm_side(spark):
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in join_kinds(df)
+
+
+def test_tpch_q21_decorrelates_to_one_aggregate(spark):
+    """Both correlated subqueries collapse into the per-order
+    distinct-supplier aggregate — no per-row re-probing, supplier
+    broadcasts, no cartesian."""
+    df = _df(spark, "tpch_q21_sole_fault_supplier")
+    assert has_partial_aggregate(df)
+    assert "BroadcastHashJoin" in join_kinds(df)
+    assert "CartesianProduct" not in join_kinds(df)
