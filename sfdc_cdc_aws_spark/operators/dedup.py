@@ -107,11 +107,12 @@ _DUCK_SHINGLES3 = (
 )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig: array<bigint> of N_HASHES minhashes). Computed
-    entirely narrow: sig[i] = min over shingles of the i-th universal
-    hash (a_i*x + b_i) mod P of the shingle's 31-bit content hash."""
-    d = load_table(spark, sf_dir, "documents", widen=True)
+def minhash_sig_df(d: DataFrame) -> DataFrame:
+    """MinHash signatures over any DataFrame with (doc_id, text) —
+    batch or streaming (the whole computation is stateless column
+    expressions). (doc_id, sig: array<bigint> of N_HASHES minhashes);
+    sig[i] = min over shingles of the i-th universal hash
+    (a_i*x + b_i) mod P of the shingle's 31-bit content hash."""
     hashed = F.transform(_word_shingles(3), lambda s: _spark_hash31(s))
     # One fold over the hashed shingles, updating all N_HASHES mins
     # per element. The naive formulation — transform(sequence(0,15),
@@ -136,6 +137,29 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.where(F.size(tokens_col()) >= 3)
         .select("doc_id", sig.alias("sig"))
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus MinHash signatures (see minhash_sig_df)."""
+    return minhash_sig_df(load_table(spark, sf_dir, "documents", widen=True))
+
+
+def sig_bands(sig_df: DataFrame) -> DataFrame:
+    """LSH banding of a signature relation: (doc_id, band_id, bucket)
+    with one row per band, bucket = the band's minhash slice joined
+    '-'. Works on batch and streaming inputs alike."""
+    return sig_df.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_id"),
+    ).select(
+        "doc_id",
+        "band_id",
+        F.concat_ws(
+            "-",
+            F.slice(F.col("sig"), F.col("band_id") * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+        ).alias("bucket"),
     )
 
 
@@ -220,18 +244,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup belongs to the cheaper ``exact_dedup_docs`` pass upstream,
     not to an O(bucket²) pair expansion that would also materialize
     the bucket's id list as one row (the 2^31 array ceiling)."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_id"),
-    ).select(
-        "doc_id",
-        "band_id",
-        F.concat_ws(
-            "-", F.slice(F.col("sig"), F.col("band_id") * ROWS_PER_BAND + 1, ROWS_PER_BAND)
-        ).alias("bucket"),
-    )
+    bands = sig_bands(minhash_signatures(spark, sf_dir))
     # group each bucket's (sorted) doc ids once, then emit intra-bucket
     # pairs with higher-order functions — computes the signatures once
     # and shuffles once, where a bucket self-join would evaluate the

@@ -65,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.operators.training",
         "sfdc_cdc_aws_spark.operators.multimodal",
         "sfdc_cdc_aws_spark.streaming.job",
+        "sfdc_cdc_aws_spark.streaming.ingest_dedup",
     ):
         try:
             importlib.import_module(mod)

@@ -1,0 +1,131 @@
+"""Incremental dedup at ingest: newly arriving documents streamed
+against the standing corpus's MinHash/LSH band index.
+
+This is the composition a production training-data pipeline actually
+runs: the corpus index is a materialized table (here the static side
+of a stream-static join; at real scale a bucketed table on
+(band_id, bucket) so each micro-batch joins without shuffling the
+index), and every arriving crawl shard probes it for near-duplicates
+before admission. The batch dedup family (operators/dedup.py) answers
+"what is duplicated in the corpus"; this answers "is the NEW thing a
+duplicate" without recomputing the corpus.
+
+Reference parity: the stream-side plumbing mirrors the CDC landing
+pattern (streaming/job.py:55-78); the reference itself has no dedup —
+this is §2.9 extension surface composed with S1/S5 streaming
+machinery (EmpConnector.java:89-120's subscribe loop is the arrival
+analog).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.operators.dedup import (
+    _DUCK_SIG_CTE,
+    N_BANDS,
+    ROWS_PER_BAND,
+    minhash_sig_df,
+    sig_bands,
+)
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+from sfdc_cdc_aws_spark.sources.tables import table_path
+from sfdc_cdc_aws_spark.streaming.job import run_available_now
+
+# deterministic corpus/arrival split: every 4th doc "arrives", the
+# rest are the standing corpus. Scale-independent and replayable.
+ARRIVAL_MOD = 4
+
+_LANDING_REV = "v1"
+
+
+def ensure_doc_landing(
+    spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_doc_landing"
+) -> str:
+    """Materialize the arriving-documents landing dir (idempotent per
+    (revision, source content) — same cache-key discipline as the CDC
+    wire landing, streaming/job.py:55-78): the arrival slice written
+    as 4 parquet files so maxFilesPerTrigger chops the drain into
+    multiple micro-batches like a real shard feed."""
+    st = os.stat(table_path(sf_dir, "documents"))
+    name = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_LANDING_REV}"
+        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+    )
+    out = os.path.join(base, name)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % ARRIVAL_MOD == 0)
+            .select("doc_id", "text")
+            .repartitionByRange(4, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
+@query(
+    "stream_minhash_ingest",
+    oracle=f"""
+WITH {_DUCK_SIG_CTE},
+bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(sig[b * {ROWS_PER_BAND} + 1 : (b + 1) * {ROWS_PER_BAND}],
+                         '-') AS bucket
+  FROM sigs, unnest(generate_series(0, {N_BANDS - 1})) AS u(b)
+)
+SELECT a.doc_id AS new_doc, c.doc_id AS corpus_doc,
+       count(*) AS n_shared_bands
+FROM bands a JOIN bands c
+  ON a.band_id = c.band_id AND a.bucket = c.bucket
+WHERE a.doc_id % {ARRIVAL_MOD} = 0 AND c.doc_id % {ARRIVAL_MOD} <> 0
+GROUP BY 1, 2
+""",
+)
+def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed arrivals probed against the static corpus band index:
+    readStream over the arrival landing (multiple micro-batches via
+    maxFilesPerTrigger), per-row MinHash signatures + banding
+    (stateless column expressions — the same code path as batch,
+    minhash_sig_df/sig_bands), stream-static join on (band_id,
+    bucket), then the shared-band count per (new, corpus) pair.
+
+    The per-pair aggregation needs no event time: one arriving doc's
+    band rows all live in its own micro-batch, so complete-mode
+    recomputation is exact (a production job would do the identical
+    groupBy inside foreachBatch and append verdicts to the lake).
+    At scale the static side is a bucketed index table on the join
+    key; the arriving micro-batch is small, so the join is
+    broadcast-reversed (index partitions stay put, batch probes)."""
+    landing = ensure_doc_landing(spark, sf_dir)
+    corpus_bands = sig_bands(
+        minhash_sig_df(
+            load_table(spark, sf_dir, "documents", widen=True).where(
+                F.col("doc_id") % ARRIVAL_MOD != 0
+            )
+        )
+    ).select(
+        F.col("doc_id").alias("corpus_doc"), "band_id", "bucket"
+    )
+    arrivals = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landing)
+    )
+    probes = sig_bands(minhash_sig_df(arrivals)).select(
+        F.col("doc_id").alias("new_doc"), "band_id", "bucket"
+    )
+    matches = (
+        probes.join(corpus_bands, ["band_id", "bucket"])
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    return run_available_now(
+        matches, "minhash_ingest", output_mode="complete"
+    )
