@@ -518,3 +518,49 @@ def topk_cosine_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means: one Lloyd refinement step over the IVF assignment
+# ---------------------------------------------------------------------------
+
+@query(
+    "kmeans_lloyd_step",
+    oracle=f"""
+WITH {_DUCK_ASSIGN_CTE},
+ex AS (
+  SELECT cent_id, CAST(i - 1 AS INT) AS dim,
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10)) AS v
+  FROM (SELECT cent_id, embedding,
+               unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS i
+        FROM assign)
+)
+SELECT cent_id, dim,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS coord,
+       count(*) AS n_members
+FROM ex GROUP BY cent_id, dim
+""",
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means: assign every vector to its
+    nearest seed centroid (the shared IVF assignment), then emit the
+    refreshed centroids as per-(centroid, dimension) means. Full
+    k-means training is this step in a driver loop with a
+    centroid-shift scalar as the convergence check — the same
+    loop discipline as dedup_clusters (dedup.py): only a scalar
+    crosses the driver per round.
+
+    Scale shape: the elementwise mean runs as posexplode to narrow
+    (cent_id, dim, value) rows + ONE map-side-partial aggregate — the
+    shuffle carries k x d partial sums per partition (16 x 64 here),
+    never vectors. Means sum in DECIMAL(28,10) so both engines
+    associate identically (float sums are order-dependent; decimal
+    addition is exact), then round to 6 places as all cosine math
+    here does."""
+    a = ivf_assignments(spark, sf_dir)
+    ex = a.select("cent_id", F.posexplode("embedding").alias("dim", "x"))
+    v = F.col("x").cast("double").cast("decimal(28,10)")
+    return ex.groupBy("cent_id", "dim").agg(
+        F.round(F.sum(v).cast("double") / F.count("*"), 6).alias("coord"),
+        F.count("*").alias("n_members"),
+    )

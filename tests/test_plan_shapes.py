@@ -332,3 +332,11 @@ def test_tpch_q21_decorrelates_to_one_aggregate(spark):
     assert has_partial_aggregate(df)
     assert "BroadcastHashJoin" in join_kinds(df)
     assert "CartesianProduct" not in join_kinds(df)
+
+
+def test_kmeans_step_partial_aggregate(spark):
+    """The elementwise centroid mean must combine map-side: the
+    shuffle carries k x d partial sums, not exploded vector rows."""
+    df = _df(spark, "kmeans_lloyd_step")
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in join_kinds(df)
