@@ -576,3 +576,91 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# corpus-LM quality score (the KenLM-filter analog)
+# ---------------------------------------------------------------------------
+
+@query(
+    "bigram_lm_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+nz AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+occ AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, CAST(len(t) - 1 AS BIGINT))) AS i
+        FROM nz)
+),
+uni AS (
+  SELECT w, count(*) AS uc
+  FROM (SELECT unnest(t) AS w FROM nz) GROUP BY w
+),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(t) AS w FROM nz)
+),
+bigc AS (SELECT w1, w2, count(*) AS bc FROM occ GROUP BY w1, w2),
+scored AS (
+  SELECT o.doc_id,
+         CAST(round(ln((b.bc + 1.0) / (u.uc + vocab.v)), 9)
+              AS DECIMAL(28,9)) AS lp
+  FROM occ o
+  JOIN bigc b ON b.w1 = o.w1 AND b.w2 = o.w2
+  JOIN uni u ON u.w = o.w1, vocab
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
+FROM scored GROUP BY doc_id
+""",
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score — the self-supervised stand-in for the
+    KenLM perplexity filter (CCNet-style): train an add-one-smoothed
+    bigram model on the corpus itself, then score each document by its
+    mean bigram log-probability ln((c(w1,w2)+1)/(c(w1)+|V|)).
+    Low scores flag gibberish / non-language / shuffled text; high
+    scores flag repetitive boilerplate — both ends get cut in a real
+    pretrain pipeline.
+
+    Scale shape: "training" is two map-side-partial aggregates
+    (bigram and unigram counts) over the same exploded relation;
+    scoring joins each bigram occurrence back to the two count
+    relations — shuffles on the count keys, narrow rows (hashing the
+    join keys would narrow further; kept as strings so the oracle is
+    transparent). Token arrays materialize once per doc behind the
+    explode barrier. Per-bigram log-probs round to 9 places and sum
+    in DECIMAL(28,9) so both engines associate identically; the
+    |V| scalar rides a 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col().alias("t")).where(F.size("t") >= 2)
+    ex = toks.select(
+        "doc_id", "t", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i")
+    )
+    occ = ex.select(
+        "doc_id",
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.element_at("t", F.col("i") + 1).alias("w2"),
+    )
+    words = toks.select(F.explode("t").alias("w"))
+    uni = words.groupBy("w").agg(F.count("*").alias("uc"))
+    vocab = F.broadcast(words.agg(F.count_distinct("w").alias("v")))
+    bigc = occ.groupBy(
+        F.col("w1").alias("b_w1"), F.col("w2").alias("b_w2")
+    ).agg(F.count("*").alias("bc"))
+    lp = F.round(
+        F.log((F.col("bc") + F.lit(1.0)) / (F.col("uc") + F.col("v"))), 9
+    ).cast("decimal(28,9)")
+    scored = (
+        occ.join(bigc, (F.col("b_w1") == F.col("w1")) & (F.col("b_w2") == F.col("w2")))
+        .join(uni, F.col("w") == F.col("w1"))
+        .crossJoin(vocab)
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("lm_score"),
+    )

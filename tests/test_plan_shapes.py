@@ -340,3 +340,14 @@ def test_kmeans_step_partial_aggregate(spark):
     df = _df(spark, "kmeans_lloyd_step")
     assert has_partial_aggregate(df)
     assert "CartesianProduct" not in join_kinds(df)
+
+
+def test_bigram_lm_partial_aggregates(spark):
+    """Both count "training" aggregates combine map-side; the vocab
+    scalar broadcasts; no cartesian beyond the 1-row vocab side."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "bigram_lm_score")
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in join_kinds(df)
+    assert "BroadcastNestedLoopJoin" in plan_string(df)
