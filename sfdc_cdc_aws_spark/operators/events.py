@@ -1,0 +1,148 @@
+"""Event-sequence analytics over the ``events`` table: ordered
+funnels and cohort retention.
+
+The reference's event stream is a CDC bus (EmpConnector.java:89-120);
+once events land in a lake the questions become behavioral — "who
+completed signup → view → purchase, in order?" and "of the users who
+arrived in week W, how many were still active k weeks later?". Both
+are pure aggregate/join plans keyed on user_id: one shuffle of the
+events relation, then every later step joins per-user scalars on the
+same key (partition-local under the reused exchange).
+
+Timestamps cross the API as epoch milliseconds (bigint) — the
+project-wide convention for oracle-hashable time values (DuckDB
+``epoch_ms`` == Spark ``unix_millis`` after the loader's ns→µs
+conversion; both floor)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+
+WEEK_MS = 7 * 24 * 3600 * 1000
+
+# the ordered funnel: each stage must happen strictly after the prior
+FUNNEL = ("signup", "view", "purchase")
+
+
+@query(
+    "funnel_ordered_stages",
+    oracle=f"""
+WITH s1 AS (
+  SELECT user_id, min(epoch_ms(ts)) AS signup_ms
+  FROM events WHERE event_type = '{FUNNEL[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS view_ms
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL[1]}' AND epoch_ms(e.ts) > s1.signup_ms
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS purchase_ms
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL[2]}' AND epoch_ms(e.ts) > s2.view_ms
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.signup_ms, s2.view_ms, s3.purchase_ms,
+       1 + CASE WHEN s2.view_ms IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN s3.purchase_ms IS NULL THEN 0 ELSE 1 END AS funnel_depth
+FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+        LEFT JOIN s3 ON s3.user_id = s1.user_id
+""",
+)
+def funnel_ordered_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase: each
+    stage's timestamp is the user's FIRST qualifying event strictly
+    after the prior stage (so a view before signup doesn't count).
+    Decorrelated into a chain of per-user min-aggregates — every
+    step is a map-side-partial agg + same-key join, so the events
+    relation shuffles once on user_id and the per-user scalars ride
+    the reused partitioning. Output: per-user stage times (epoch ms,
+    null when the stage was never reached in order) and funnel
+    depth."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+    s1 = (
+        e.where(F.col("event_type") == FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("signup_ms"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == FUNNEL[1])
+        .join(s1.select(F.col("user_id").alias("u1"), "signup_ms"),
+              F.col("u1") == F.col("user_id"))
+        .where(F.col("ms") > F.col("signup_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("view_ms"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == FUNNEL[2])
+        .join(s2.select(F.col("user_id").alias("u2"), "view_ms"),
+              F.col("u2") == F.col("user_id"))
+        .where(F.col("ms") > F.col("view_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("purchase_ms"))
+    )
+    depth = (
+        F.lit(1)
+        + F.col("view_ms").isNotNull().cast("int")
+        + F.col("purchase_ms").isNotNull().cast("int")
+    )
+    return (
+        s1.join(s2.withColumnRenamed("user_id", "u2"),
+                F.col("u2") == F.col("user_id"), "left")
+        .join(s3.withColumnRenamed("user_id", "u3"),
+              F.col("u3") == F.col("user_id"), "left")
+        .select(
+            "user_id",
+            "signup_ms",
+            "view_ms",
+            "purchase_ms",
+            depth.alias("funnel_depth"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+WITH first_seen AS (
+  SELECT user_id, min(epoch_ms(ts)) // {WEEK_MS} AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       epoch_ms(e.ts) // {WEEK_MS} - f.cohort_week AS week_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first_seen f ON f.user_id = e.user_id
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted distinct in every subsequent activity week (offset 0 =
+    the arrival week itself). Two aggregates on user-keyed data —
+    first-seen is map-side partial; the retention count shuffles
+    (cohort, offset, user) triples after the same-key join. Week
+    bucketing is integer division of epoch ms, exact in both
+    engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ms")
+    )
+    first_seen = e.groupBy(F.col("user_id").alias("fu")).agg(
+        F.expr(f"min(ms) div {WEEK_MS}").alias("cohort_week")
+    )
+    return (
+        e.join(first_seen, F.col("fu") == F.col("user_id"))
+        .select(
+            "cohort_week",
+            (F.expr(f"ms div {WEEK_MS}") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.operators.udfs",
         "sfdc_cdc_aws_spark.operators.sinks",
         "sfdc_cdc_aws_spark.operators.layout",
+        "sfdc_cdc_aws_spark.operators.events",
         "sfdc_cdc_aws_spark.operators.dedup",
         "sfdc_cdc_aws_spark.operators.similarity",
         "sfdc_cdc_aws_spark.operators.text",

@@ -351,3 +351,17 @@ def test_bigram_lm_partial_aggregates(spark):
     assert has_partial_aggregate(df)
     assert "CartesianProduct" not in join_kinds(df)
     assert "BroadcastNestedLoopJoin" in plan_string(df)
+
+
+def test_funnel_partial_aggregates_no_cartesian(spark):
+    """Every funnel stage is a map-side-partial min-aggregate joined
+    on the same user key — no cartesian, no window over raw events."""
+    df = _df(spark, "funnel_ordered_stages")
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in join_kinds(df)
+
+
+def test_cohort_retention_partial_aggregate(spark):
+    df = _df(spark, "cohort_retention")
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in join_kinds(df)
