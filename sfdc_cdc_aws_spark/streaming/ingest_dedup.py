@@ -43,6 +43,35 @@ ARRIVAL_MOD = 4
 _LANDING_REV = "v1"
 
 
+def ensure_band_index(
+    spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_band_index"
+) -> str:
+    """Materialize the corpus MinHash band index as a parquet table
+    (idempotent per source content). A stream-static join re-evaluates
+    its static side EVERY micro-batch — recomputing the corpus
+    signatures per batch is the naive cost; the production shape is
+    this materialized index (at scale: bucketed on (band_id, bucket)
+    so batch probes join without shuffling the index), refreshed when
+    the corpus version changes."""
+    st = os.stat(table_path(sf_dir, "documents"))
+    name = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_LANDING_REV}"
+        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+    )
+    out = os.path.join(base, name)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        sig_bands(
+            minhash_sig_df(
+                load_table(spark, sf_dir, "documents", widen=True).where(
+                    F.col("doc_id") % ARRIVAL_MOD != 0
+                )
+            )
+        ).select(
+            F.col("doc_id").alias("corpus_doc"), "band_id", "bucket"
+        ).write.mode("overwrite").parquet(out)
+    return out
+
+
 def ensure_doc_landing(
     spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_doc_landing"
 ) -> str:
@@ -94,7 +123,10 @@ def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxFilesPerTrigger), per-row MinHash signatures + banding
     (stateless column expressions — the same code path as batch,
     minhash_sig_df/sig_bands), stream-static join on (band_id,
-    bucket), then the shared-band count per (new, corpus) pair.
+    bucket) against the MATERIALIZED index (ensure_band_index — a
+    stream-static join re-reads its static side every micro-batch,
+    so the index must be a table, not a recomputed plan), then the
+    shared-band count per (new, corpus) pair.
 
     The per-pair aggregation needs no event time: one arriving doc's
     band rows all live in its own micro-batch, so complete-mode
@@ -104,15 +136,7 @@ def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; the arriving micro-batch is small, so the join is
     broadcast-reversed (index partitions stay put, batch probes)."""
     landing = ensure_doc_landing(spark, sf_dir)
-    corpus_bands = sig_bands(
-        minhash_sig_df(
-            load_table(spark, sf_dir, "documents", widen=True).where(
-                F.col("doc_id") % ARRIVAL_MOD != 0
-            )
-        )
-    ).select(
-        F.col("doc_id").alias("corpus_doc"), "band_id", "bucket"
-    )
+    corpus_bands = spark.read.parquet(ensure_band_index(spark, sf_dir))
     arrivals = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 2)
