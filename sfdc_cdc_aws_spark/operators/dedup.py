@@ -662,3 +662,73 @@ def decontaminate_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank power iteration over the near-dup graph
+# ---------------------------------------------------------------------------
+
+@query(
+    "pagerank_step",
+    oracle=f"""
+WITH {_DUCK_LSH_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT count(*) AS n_nodes FROM deg),
+s AS (
+  SELECT e.src AS node,
+         sum(CAST(round(1.0 / d.deg, 12) AS DECIMAL(28,12))) AS contrib
+  FROM edges e JOIN deg d ON d.node = e.dst
+  GROUP BY e.src
+)
+SELECT s.node AS doc_id, dg.deg,
+       round((0.15 + 0.85 * CAST(s.contrib AS DOUBLE)) / n.n_nodes, 9)
+         AS pr_score
+FROM s JOIN deg dg ON dg.node = s.node, n
+""",
+)
+def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power iteration (damping 0.85) over the
+    undirected near-dup graph, from the uniform start r0 = 1/N — the
+    centrality signal that ranks which documents sit at the center of
+    duplication clusters (keep the canonical center, drop satellites).
+    Full PageRank is this step in a driver loop, like
+    dedup_clusters/kmeans_lloyd_step: scalars cross the driver,
+    relations never do.
+
+    Scale shape: degree and contribution are both map-side-partial
+    aggregates on the edge list; the node count rides a 1-row
+    broadcast. Per-edge contributions 1/deg round to 12 places and
+    sum in DECIMAL(28,12) so both engines associate identically."""
+    pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("src", "dst")
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    n = F.broadcast(deg.agg(F.count("*").alias("n_nodes")))
+    contrib = F.round(F.lit(1.0) / F.col("deg"), 12).cast("decimal(28,12)")
+    s = (
+        edges.join(deg.withColumnRenamed("node", "dnode"),
+                   F.col("dnode") == F.col("dst"))
+        .groupBy("src")
+        .agg(F.sum(contrib).alias("contrib"))
+    )
+    return (
+        s.join(deg, F.col("node") == F.col("src"))
+        .crossJoin(n)
+        .select(
+            F.col("src").alias("doc_id"),
+            "deg",
+            F.round(
+                (F.lit(0.15) + F.lit(0.85) * F.col("contrib").cast("double"))
+                / F.col("n_nodes"),
+                9,
+            ).alias("pr_score"),
+        )
+    )

@@ -365,3 +365,11 @@ def test_cohort_retention_partial_aggregate(spark):
     df = _df(spark, "cohort_retention")
     assert has_partial_aggregate(df)
     assert "CartesianProduct" not in join_kinds(df)
+
+
+def test_pagerank_step_partial_aggregates(spark):
+    """Degree and contribution both combine map-side over the edge
+    list; only the 1-row node count broadcasts."""
+    df = _df(spark, "pagerank_step")
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in join_kinds(df)
