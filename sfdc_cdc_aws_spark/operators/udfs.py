@@ -97,3 +97,72 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: mergeable Misra-Gries sketch
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 64  # counters per partition sketch
+
+
+@query(
+    "heavy_hitters_sketch",
+    oracle=None,  # algorithm-specific like the HLL/t-digest pair above:
+    # no cross-engine twin exists; the driver records rows-only and
+    # tests/test_sketches.py bounds the error vs the exact counts.
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy-hitter tokens via per-partition Misra-Gries sketches
+    (capacity 64) summed across partitions — the bounded-state
+    alternative to the exact ``text_token_counts`` + sort when the
+    vocabulary won't fit a shuffle at 100 TB. Each partition keeps at
+    most C counters regardless of input size; summed sketches keep the
+    classic guarantee: every token with true count > N/C survives, and
+    estimates sit within N/C below the truth (bounded in
+    tests/test_sketches.py).
+
+    The partial sketch is an Arrow-batched ``mapInPandas`` (batch
+    value_counts merged into the counter table, batched MG decrement
+    when it overflows); the merge is a plain map-side-combinable sum —
+    exactly how a sketch aggregate distributes."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\W+"), lambda x: x != F.lit("")
+            )
+        ).alias("token")
+    )
+
+    def mg_partial(batches):
+        from collections import Counter
+
+        counters: Counter = Counter()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counters.update(pdf["token"].value_counts().to_dict())
+            if len(counters) > MG_CAPACITY:
+                # batched MG decrement: subtract the (C+1)-th largest
+                # count from everything, drop the non-positive
+                delta = sorted(counters.values(), reverse=True)[MG_CAPACITY]
+                counters = Counter(
+                    {k: v - delta for k, v in counters.items() if v - delta > 0}
+                )
+        yield pd.DataFrame(
+            {"token": list(counters.keys()), "est": list(counters.values())}
+        )
+
+    partials = toks.mapInPandas(mg_partial, "token string, est long")
+    # the FULL merged sketch (≤ C·partitions rows — bounded regardless
+    # of input size), not a top-K cut: the survival guarantee "every
+    # token with true count > N/C is present" holds for the sketch,
+    # and truncating it would silently break that contract
+    return (
+        partials.groupBy("token")
+        .agg(F.sum("est").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), F.col("token"))
+    )

@@ -39,3 +39,31 @@ def test_sketches_within_error_bounds(spark):
         # t-digest with accuracy 10000 on ~100k rows: near-exact quantiles
         for got, want in zip((a["q25"], a["q50"], a["q75"]), e["qs"]):
             assert abs(got - want) <= max(1.0, 0.05 * want)
+
+
+def test_heavy_hitters_within_mg_bound(spark):
+    """Summed Misra-Gries sketches: estimates within N/C below truth,
+    never above, and the true top tokens all survive."""
+    from sfdc_cdc_aws_spark.operators.udfs import (
+        MG_CAPACITY,
+        heavy_hitters_sketch,
+    )
+    from sfdc_cdc_aws_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    specs = load_all()
+    exact = {
+        r["token"]: r["n"]
+        for r in specs["text_token_counts"].fn(spark, sf).collect()
+    }
+    n_total = sum(exact.values())
+    bound = n_total / MG_CAPACITY
+    approx = {r["token"]: r["est_count"] for r in heavy_hitters_sketch(spark, sf).collect()}
+    assert approx, "sketch returned nothing"
+    for tok, est in approx.items():
+        assert est <= exact[tok], f"{tok} overestimated"
+        assert exact[tok] - est <= bound, f"{tok} off by more than N/C"
+    # survival guarantee for unambiguous heavy hitters
+    for tok, n in exact.items():
+        if n > bound:
+            assert tok in approx, f"heavy hitter {tok} missing"
