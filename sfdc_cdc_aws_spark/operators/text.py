@@ -664,3 +664,100 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("lm_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("window", "join", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "bm25_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         count(*) AS n_docs
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN {BM25_TERMS!r} GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                   + {BM25_B} * dl.dl / stats.avgdl)),
+           9) AS DECIMAL(28,9)) AS c
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+)
+SELECT doc_id, count(*) AS n_hits,
+       round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+FROM contrib GROUP BY doc_id
+""",
+)
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to a fixed query-term set —
+    the retrieval-based curation scorer (rank corpus docs against a
+    topic probe; keep/weight the top slice). Robertson idf
+    (ln((N-df+0.5)/(df+0.5)+1), never negative), k1=1.2, b=0.75.
+
+    Scale shape: document length and term frequency are the same two
+    map-side-partial aggregates TF-IDF uses; df and the (avgdl, N)
+    scalars broadcast. Per-term contributions round to 9 places and
+    sum in DECIMAL(28,9) — the same cross-engine float discipline as
+    bigram_lm_score."""
+    from pyspark.sql import Window  # noqa: F401  (module convention)
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    dl = toks.groupBy(F.col("doc_id").alias("dl_doc")).agg(
+        F.count("*").alias("dl")
+    )
+    stats = F.broadcast(
+        dl.agg(
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+    tf = (
+        toks.where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = F.broadcast(
+        tf.groupBy(F.col("term").alias("df_term")).agg(F.count("*").alias("df"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    c = F.round(idf * F.col("tf") * (BM25_K1 + 1.0) / denom, 9).cast(
+        "decimal(28,9)"
+    )
+    return (
+        tf.join(df_, F.col("df_term") == F.col("term"))
+        .join(dl, F.col("dl_doc") == F.col("doc_id"))
+        .crossJoin(stats)
+        .select("doc_id", c.alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.round(F.sum("c").cast("double"), 6).alias("bm25"),
+        )
+    )

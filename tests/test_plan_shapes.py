@@ -373,3 +373,12 @@ def test_pagerank_step_partial_aggregates(spark):
     df = _df(spark, "pagerank_step")
     assert has_partial_aggregate(df)
     assert "CartesianProduct" not in join_kinds(df)
+
+
+def test_bm25_broadcasts_stats(spark):
+    """df and the (avgdl, N) scalars broadcast; tf and dl combine
+    map-side; no cartesian beyond the 1-row stats side."""
+    df = _df(spark, "bm25_score")
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in join_kinds(df)
+    assert "BroadcastHashJoin" in join_kinds(df)
