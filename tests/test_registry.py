@@ -55,7 +55,13 @@ def test_rotation_is_permutation_of_registry():
     keys = list(e.queries())
     assert len(keys) == len(set(keys)), "duplicate keys in rotation"
     assert set(keys) == set(registry.load_all()), "rotation != registry"
-    # the one rows-only key is pinned first until it has a driver row
+    # rows-only keys (no DuckDB-expressible oracle): the mergeable
+    # sketch suites. sketch_suite is pinned first until it has a
+    # driver row; heavy_hitters_sketch is new this round so the
+    # rotation already places it in the driver window.
     assert keys[0] == "sketch_suite"
     oracles = e.oracle_sql()
-    assert [k for k in keys if k not in oracles] == ["sketch_suite"]
+    assert sorted(k for k in keys if k not in oracles) == [
+        "heavy_hitters_sketch",
+        "sketch_suite",
+    ]
