@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.operators.relational",
         "sfdc_cdc_aws_spark.operators.analytics",
         "sfdc_cdc_aws_spark.operators.tpch",
+        "sfdc_cdc_aws_spark.operators.tpch2",
         "sfdc_cdc_aws_spark.operators.cdc_analytics",
         "sfdc_cdc_aws_spark.operators.relational2",
         "sfdc_cdc_aws_spark.operators.relational3",

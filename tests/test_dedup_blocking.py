@@ -104,3 +104,39 @@ def test_minhash_bucket_cap_on_identical_docs(spark, tmp_path):
     assert not any(a < n_same and b < n_same for a, b in got), (
         "identical-doc bucket pairs must be capped away"
     )
+
+
+def test_sentence_dedup_finds_injected_boilerplate(spark, tmp_path):
+    """The driver corpus is random text — no sentence ever repeats, so
+    the oracle row for sentence_dedup is a vacuous 0==0 match. This
+    fixture injects real boilerplate: the same license sentence in
+    three docs (one of them twice) plus unique filler, and asserts the
+    operator reports exactly that sentence with the right doc/occ
+    counts."""
+    from sfdc_cdc_aws_spark.operators.chunking import sentence_dedup
+
+    boiler = (
+        "This document is licensed under the synthetic public license "
+        "and may be redistributed freely."
+    )
+    texts = [
+        f"{boiler} Unique alpha content one of the first document body.",
+        f"Unique beta content of the second document body. {boiler}",
+        f"{boiler} Unique gamma content here also quite long. {boiler}",
+        "Completely unique fourth document with no shared sentences at all.",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(texts), type=pa.string()),
+            "source": pa.array(["fixture"] * len(texts), type=pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = sentence_dedup(spark, str(tmp_path)).collect()
+    assert len(got) == 1, f"expected exactly the boilerplate sentence, got {got}"
+    assert got[0]["n_docs"] == 3
+    assert got[0]["n_occ"] == 4
