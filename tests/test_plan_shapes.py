@@ -382,3 +382,79 @@ def test_bm25_broadcasts_stats(spark):
     assert has_partial_aggregate(df)
     assert "CartesianProduct" not in join_kinds(df)
     assert "BroadcastHashJoin" in join_kinds(df)
+
+
+def test_tpch_q2_window_min_over_aggregated_relation(spark):
+    """Q2's correlated MIN decorrelates: part filter broadcasts below
+    lineitem's one grouping shuffle, the supplier->nation->region
+    chain broadcasts, and the per-part min is a window over the
+    post-aggregation (partsupp-sized) relation — never a re-scan."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "tpch_q2_min_cost_supplier")
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in join_kinds(df)
+    assert "CartesianProduct" not in join_kinds(df)
+    assert has_partial_aggregate(df)
+    assert "Window" in plan
+
+
+def test_tpch_q9_broadcasts_dims_and_pushes_name_filter(spark):
+    """Q9's five-way join: the part name-filter reaches the part scan
+    as a pushed StringContains and every dim joins as broadcast (at
+    sf0.001 even orders broadcasts; at scale it becomes the one
+    shuffle join); the rollup combines map-side."""
+    df = _df(spark, "tpch_q9_product_profit")
+    assert join_kinds(df) == {"BroadcastHashJoin"}
+    assert any("bolt" in f for f in pushed_filters(df))
+    assert has_partial_aggregate(df)
+
+
+def test_tpch_q11_scalar_threshold_broadcast(spark):
+    """Q11's HAVING-vs-scalar: the grand total is a broadcast one-row
+    relation over the per-part aggregate — a broadcast nested loop,
+    never a cartesian product, and lineitem shuffles exactly once."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "tpch_q11_important_stock")
+    assert "CartesianProduct" not in join_kinds(df)
+    assert has_partial_aggregate(df)
+    assert "BroadcastNestedLoopJoin" in plan_string(df)
+
+
+def test_tpch_q12_pushes_dates_conditional_agg(spark):
+    """Q12: both shipdate bounds reach the lineitem scan (only the
+    one-year slice shuffles into the big join); the CASE counters
+    combine map-side."""
+    df = _df(spark, "tpch_q12_ship_priority_counts")
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in join_kinds(df)
+
+
+def test_tpch_q16_distinct_then_anti_broadcast(spark):
+    """Q16: the NOT-IN suppliers and the part predicate both
+    broadcast; the distinct (partkey, suppkey) projection combines
+    map-side before its one exchange."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "tpch_q16_supplier_part_counts")
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in join_kinds(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in join_kinds(df)
+    assert has_partial_aggregate(df)
+
+
+def test_tpch_q20_semi_join_gated_aggregate(spark):
+    """Q20: the qualifying-supplier set reaches supplier as a LEFT
+    SEMI join; the (part,supplier) aggregate computes both sums in
+    one pass with map-side partials; part name-filter broadcasts."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "tpch_q20_promotable_suppliers")
+    plan = plan_string(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in join_kinds(df)
+    assert "CartesianProduct" not in join_kinds(df)
+    assert has_partial_aggregate(df)
