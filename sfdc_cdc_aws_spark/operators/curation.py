@@ -1,0 +1,243 @@
+"""Corpus-curation operators, round-3 batch: rule-based quality
+gating (the Gopher-rules analog), exact-substring duplicate-span
+coverage (the removal metric of suffix-array dedup), and one BPE
+merge iteration (tokenizer induction as a corpus aggregate).
+
+All three are pure built-in/HOF plans — zero Python in the hot path —
+with DuckDB oracle twins. Thresholds are tuned so the synthetic
+corpus splits both ways (a rule that every row passes verifies
+nothing; see tests/test_oracle_parity.py + the driver rows).
+
+Reference parity: the reference has no text surface (it forwards CDC
+JSON byte-for-byte, worker/lambda/app.py:96-118); this module extends
+SURVEY.md §2.9's mandated LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.operators.text import (
+    _DUCK_TOKENS,
+    _STOPWORDS,
+    DUCK_HASH64,
+    shared_hash64,
+    tokens_col,
+)
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+
+# Gopher-style gates, adapted to the synthetic corpus's ranges
+# (10..99 words/doc): word-count bounds split the corpus at both
+# ends, the stopword gate splits it in the middle, and the
+# mean-word-length bounds are the canonical 3..10.
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MIN_STOPWORDS = 2
+
+SPAN_K = 8  # tokens per exact-substring span
+
+BPE_TOP = 20  # merge candidates reported per iteration
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(tk) AS n_words,
+         CAST(length(list_aggregate(tk, 'string_agg', '')) AS DOUBLE)
+           / len(tk) AS mean_word_len,
+         len(list_distinct(list_filter(tk, x -> x IN {_STOPWORDS})))
+           AS n_stop_distinct
+  FROM t WHERE len(tk) > 0
+)
+SELECT doc_id, n_words, mean_word_len, n_stop_distinct,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         AS rule_word_count,
+       mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+         AS rule_mean_word_len,
+       n_stop_distinct >= {GOPHER_MIN_STOPWORDS} AS rule_stopwords,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+         AND n_stop_distinct >= {GOPHER_MIN_STOPWORDS} AS pass_gopher
+FROM m
+""",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gating in the style of the Gopher corpus
+    rules: per-document word-count bounds, mean-word-length bounds,
+    and a distinct-stopword floor, each reported as its own flag plus
+    the conjunction — keeping the flags separate is what makes the
+    gate auditable (a curation run reports WHY a doc dropped, not
+    just that it did).
+
+    Embarrassingly parallel: one projection over documents, zero
+    shuffles, every expression a JVM built-in/HOF. The scan reads
+    doc_id+text only. At 100 TB this is a map-only pass whose output
+    feeds the cleaning manifest."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens_col()
+    m = d.select(
+        "doc_id",
+        F.size(tk).alias("n_words"),
+        (
+            F.length(F.array_join(tk, "")).cast("double") / F.size(tk)
+        ).alias("mean_word_len"),
+        F.size(
+            F.array_distinct(F.filter(tk, lambda x: x.isin(*_STOPWORDS)))
+        ).alias("n_stop_distinct"),
+    ).where(F.col("n_words") > 0)
+    rule_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    rule_mwl = F.col("mean_word_len").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+    rule_sw = F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stop_distinct",
+        rule_wc.alias("rule_word_count"),
+        rule_mwl.alias("rule_mean_word_len"),
+        rule_sw.alias("rule_stopwords"),
+        (rule_wc & rule_mwl & rule_sw).alias("pass_gopher"),
+    )
+
+
+@query(
+    "dup_span_coverage",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         {DUCK_HASH64.format(
+             expr="list_aggregate(tk[i:i+" + str(SPAN_K - 1) + "], 'string_agg', ' ')"
+         )} AS h
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - {SPAN_K - 1})) AS i
+        FROM t WHERE len(tk) >= {SPAN_K})
+),
+nd AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs FROM sp GROUP BY h
+)
+SELECT sp.doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(sum(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_frac
+FROM sp JOIN nd ON nd.h = sp.h
+GROUP BY sp.doc_id
+""",
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate coverage — the removal metric of
+    suffix-array dedup (every {SPAN_K}-token sliding span is hashed;
+    a span occurring in ≥2 distinct documents is "duplicated text"),
+    reported per document as the fraction of its spans that are
+    duplicated. Unlike pairwise dedup (minhash/ngram-jaccard), this
+    measures HOW MUCH of each doc is boilerplate, which is what the
+    cut-or-keep decision actually needs.
+
+    Plan: spans leave the tokenizer as (hash, doc_id) — 16 bytes per
+    span, never text. The per-hash distinct-doc count groups on h;
+    the occurrence stream joins it on the SAME key, so the exchange
+    is reused (one effective shuffle of span hashes plus the final
+    per-doc rollup). The unique-span tail never survives the n_docs
+    aggregate's map-side combine at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col().alias("tk")).where(
+        F.size("tk") >= SPAN_K
+    )
+    sp = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("tk") - (SPAN_K - 1))).alias("i"),
+        "tk",
+    ).select(
+        "doc_id",
+        shared_hash64(F.array_join(F.slice("tk", F.col("i"), SPAN_K), " ")).alias(
+            "h"
+        ),
+    )
+    nd = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        sp.join(nd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).cast("bigint").alias("n_dup_spans"),
+            (F.sum(dup).cast("double") / F.count("*")).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "bpe_merge_step",
+    oracle=f"""
+WITH wc AS (
+  SELECT token, count(*) AS freq
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents)
+  GROUP BY token
+),
+pairs AS (
+  SELECT substr(token, i, 2) AS pair, sum(freq) AS cnt
+  FROM (SELECT token, freq,
+               unnest(generate_series(1, length(token) - 1)) AS i
+        FROM wc WHERE length(token) >= 2)
+  GROUP BY pair
+)
+SELECT merge_rank, pair, cnt FROM (
+  SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+         row_number() OVER (ORDER BY cnt DESC, pair) AS merge_rank
+  FROM pairs
+) WHERE merge_rank <= {BPE_TOP}
+""",
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding merge iteration as a corpus aggregate:
+    count adjacent symbol pairs inside every word, weighted by word
+    frequency, and emit the top-{BPE_TOP} merge candidates — the unit
+    of work a distributed tokenizer trainer repeats (like
+    kmeans_lloyd_step, the driver of the loop stays outside; each
+    iteration is one declarative plan over the updated symbol table).
+
+    Plan: word frequencies are one map-side-partial aggregate (the
+    shuffle carries the corpus VOCABULARY, not tokens); pair explosion
+    runs over |vocab| rows, so its cost is independent of corpus row
+    count; the final ranking window runs over |distinct char pairs|
+    rows (bounded by alphabet², ~1k) — a deliberate single-partition
+    window over a provably tiny relation. Ties break on the pair
+    string so the ranking is total and replayable."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .where(F.length("token") >= 2)
+    )
+    pairs = (
+        wc.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(token) - 1), "
+                       "i -> substring(token, i, 2))")
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return (
+        pairs.withColumn("merge_rank", F.row_number().over(w))
+        .where(F.col("merge_rank") <= BPE_TOP)
+        .select("merge_rank", "pair", "cnt")
+    )

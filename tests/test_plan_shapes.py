@@ -458,3 +458,31 @@ def test_tpch_q20_semi_join_gated_aggregate(spark):
     assert "BroadcastHashJoin" in join_kinds(df)
     assert "CartesianProduct" not in join_kinds(df)
     assert has_partial_aggregate(df)
+
+
+def test_gopher_rules_map_only_pruned_scan(spark):
+    """gopher_quality_rules is a map-only pass: zero exchanges, and
+    the documents scan reads only doc_id+text."""
+    df = _df(spark, "gopher_quality_rules")
+    assert exchange_count(df) == 0
+    schemas = read_schemas(df)
+    assert any("text" in s and "lang" not in s and "source" not in s for s in schemas)
+
+
+def test_dup_span_coverage_shuffles_hashes_only(spark):
+    """dup_span_coverage's exchanges carry span hashes + doc ids, not
+    text; the per-hash doc count combines map-side; no cartesian."""
+    df = _df(spark, "dup_span_coverage")
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in join_kinds(df)
+
+
+def test_bpe_merge_step_vocab_sized_window(spark):
+    """bpe_merge_step aggregates to the vocabulary before exploding
+    pairs (map-side partials on the token count), and the ranking
+    window runs over the tiny distinct-pair relation."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "bpe_merge_step")
+    assert has_partial_aggregate(df)
+    assert "Window" in plan_string(df)
