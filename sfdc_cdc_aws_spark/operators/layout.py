@@ -140,3 +140,74 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("box_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# single-dimension range-sorted layout (the time-series standard)
+# ---------------------------------------------------------------------------
+
+RANGE_FILES = 32
+SHIP_LO, SHIP_HI = "1998-06-01", "1998-09-01"
+
+
+def ensure_range_sorted_layout(
+    spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_rangesort"
+) -> str:
+    """Materialize the shipdate-sorted copy of lineitem (idempotent
+    per source content): ``repartitionByRange`` draws file boundaries
+    from a reservoir sample of l_shipdate — the exact mechanism a
+    1000-executor job uses, no global window — and
+    ``sortWithinPartitions`` makes every file a contiguous date run.
+    Each parquet footer then carries a tight min/max on l_shipdate,
+    so time-range scans skip all non-overlapping files. This is the
+    bread-and-butter lake layout for event/time-series data; the
+    z-order layout above generalizes it to two dimensions at the cost
+    of per-dimension precision."""
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{_src_fingerprint(sf_dir, ('lineitem',))}"
+    out = os.path.join(base, tag)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .repartitionByRange(RANGE_FILES, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
+@query(
+    "range_sorted_scan",
+    oracle=f"""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS window_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{SHIP_LO}'
+  AND l_shipdate <  TIMESTAMP '{SHIP_HI}'
+GROUP BY l_returnflag
+""",
+)
+def range_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-quarter revenue scan over the range-sorted lineitem copy:
+    the date bounds reach the parquet reader, and because files are
+    disjoint contiguous date runs, footer min/max stats skip every
+    file outside the quarter — IO proportional to the window, not the
+    table. Results are layout-independent (the oracle scans the
+    original); the skipping itself is asserted from parquet footers in
+    tests/test_layout.py."""
+    path = ensure_range_sorted_layout(spark, sf_dir)
+    s = spark.read.parquet(path)
+    return (
+        s.where(
+            (F.col("l_shipdate") >= SHIP_LO) & (F.col("l_shipdate") < SHIP_HI)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("window_revenue"),
+        )
+    )

@@ -524,3 +524,66 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return prof("o_totalprice").unionByName(prof("o_orderstatus"))
+
+
+@query(
+    "skew_key_report",
+    oracle="""
+WITH oc AS (
+  SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY k
+),
+lp AS (
+  SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY k
+)
+SELECT 'orders.o_custkey' AS keyspace,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       count(*) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_cnt,
+       CAST(sum(c) AS DOUBLE) / count(*) AS avg_cnt,
+       CAST(max(c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) / count(*))
+         AS skew_ratio,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top1_share
+FROM oc
+UNION ALL
+SELECT 'lineitem.l_partkey',
+       CAST(sum(c) AS BIGINT), count(*), CAST(max(c) AS BIGINT),
+       CAST(sum(c) AS DOUBLE) / count(*),
+       CAST(max(c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) / count(*)),
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+FROM lp
+""",
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the report that decides whether a
+    join needs salting (operators/relational3.py::skew_salted_join)
+    or AQE skew handling BEFORE it runs: per candidate key space, the
+    hottest key's multiplicity vs the average (skew_ratio) and its
+    share of all rows (top1_share). A skew_ratio near 1 means uniform
+    hashing distributes fine; a ratio of 100 means one reducer gets
+    100x the median partition.
+
+    Plan: one map-side-partial count per key space (the shuffle
+    carries (key, partial) pairs), then a second aggregate over
+    |keys| rows collapses to a single diagnostic row — nothing wider
+    than a key ever moves, so profiling 100 TB costs one pass per key
+    space."""
+
+    def report(df: DataFrame, key: str, label: str) -> DataFrame:
+        per_key = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+        total = F.sum("c").cast("double")
+        avg = total / F.count("*")
+        return per_key.agg(
+            F.lit(label).alias("keyspace"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_cnt"),
+            avg.alias("avg_cnt"),
+            (F.max("c").cast("double") / avg).alias("skew_ratio"),
+            (F.max("c").cast("double") / total).alias("top1_share"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return report(o, "o_custkey", "orders.o_custkey").unionByName(
+        report(li, "l_partkey", "lineitem.l_partkey")
+    )

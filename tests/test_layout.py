@@ -84,3 +84,40 @@ def test_zorder_prunes_both_dimensions(spark):
     # the 2-D box: z-order never reads more files than the single-sort
     assert _hits_box(z) <= _hits_box(dt)
     assert _hits_box(z) < len(z) // 2
+
+
+def test_range_sorted_layout_skips_out_of_window_files(spark):
+    """The shipdate-sorted lineitem copy: files are disjoint
+    contiguous date runs, so the quarter predicate overlaps only a
+    small fraction of files (footer min/max check — the same stats
+    the reader's file skipping uses)."""
+    from sfdc_cdc_aws_spark.operators.layout import (
+        SHIP_LO,
+        SHIP_HI,
+        ensure_range_sorted_layout,
+    )
+
+    d = ensure_range_sorted_layout(spark, SF)
+    lo = datetime.datetime.fromisoformat(SHIP_LO)
+    hi = datetime.datetime.fromisoformat(SHIP_HI)
+    n_files, n_hit = 0, 0
+    for f in glob.glob(os.path.join(d, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats = [
+            md.row_group(g).column(cols["l_shipdate"]).statistics
+            for g in range(md.num_row_groups)
+        ]
+        fmin = min(s.min for s in stats)
+        fmax = max(s.max for s in stats)
+        n_files += 1
+        if not (fmax < lo or fmin >= hi):
+            n_hit += 1
+    assert n_files >= 16, f"expected a multi-file layout, got {n_files}"
+    # a 3-month window over a ~7-year span should hit only a few runs
+    assert n_hit <= max(2, n_files // 4), (
+        f"{n_hit}/{n_files} files overlap the window — files are not "
+        "contiguous date runs"
+    )
