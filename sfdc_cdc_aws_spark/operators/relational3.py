@@ -73,3 +73,46 @@ def set_ops_all_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tag(a.intersectAll(b), "intersect_all"))
         .unionAll(tag(a.exceptAll(b), "except_all"))
     )
+
+
+@query(
+    "safe_arithmetic_suite",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0)
+         AS safe_div,
+       TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast,
+       TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS good_cast,
+       COALESCE(TRY_CAST(o_orderstatus AS INTEGER), -1) AS cast_or_default,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / CAST(o_orderkey % 3 AS DOUBLE) END
+         AS case_guard_div
+FROM orders
+WHERE o_orderkey <= 1000
+""",
+)
+def safe_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface — the NULL-not-exception contract
+    a pipeline needs when raw data reaches arithmetic: try_divide
+    (÷0 → NULL), try_cast (unparseable → NULL), coalesce defaults,
+    and the explicit CASE guard. All whole-stage-codegen built-ins;
+    the point of the oracle is that Spark's try_* semantics and ANSI
+    SQL's NULLIF/TRY_CAST idioms agree row-for-row, so queries port
+    between the engines without wrapping every division in a guard.
+    Map-only: the filter pushes to the scan, zero shuffles."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    denom = (F.col("o_orderkey") % 3).cast("double")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.nullif(denom, F.lit(0.0))).alias(
+            "safe_div"
+        ),
+        F.col("o_orderstatus").try_cast("int").alias("bad_cast"),
+        F.col("o_orderkey").cast("string").try_cast("int").alias("good_cast"),
+        F.coalesce(
+            F.col("o_orderstatus").try_cast("int"), F.lit(-1)
+        ).alias("cast_or_default"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice") / denom)
+        .alias("case_guard_div"),
+    )
