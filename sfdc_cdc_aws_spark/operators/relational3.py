@@ -116,3 +116,101 @@ def safe_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice") / denom)
         .alias("case_guard_div"),
     )
+
+
+@query(
+    "histogram_bins",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 5000.0) AS BIGINT) AS bin,
+       floor(o_totalprice / 5000.0) * 5000.0 AS bin_lo,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_sum
+FROM orders
+GROUP BY bin, bin_lo
+""",
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value — the profiling aggregate
+    behind every data-quality dashboard. Binning is pure arithmetic
+    (floor-divide, no UDF, no sort), so the whole histogram is one
+    map-side-partial aggregate whose shuffle carries |bins| rows.
+    Contrast quantile_suite (exact percentiles need a sort-based
+    aggregate): for monitoring at 100 TB the fixed-width histogram is
+    the cheap always-on path, percentiles the occasional exact one."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 5000.0)
+    return o.groupBy(
+        bin_.cast("bigint").alias("bin"),
+        (bin_ * 5000.0).alias("bin_lo"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bin_sum"),
+    )
+
+
+@query(
+    "yoy_revenue_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS INT) AS yr,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY nation, yr
+)
+SELECT nation, yr, revenue,
+       lag(revenue) OVER (PARTITION BY nation ORDER BY yr) AS prev_revenue,
+       revenue / lag(revenue) OVER (PARTITION BY nation ORDER BY yr) - 1.0
+         AS yoy_growth
+FROM yearly
+""",
+)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the
+    canonical period-comparison report, expressed as ONE pass: the
+    yearly rollup (map-side partials; customer/nation broadcast under
+    the lineitem><orders join) followed by a lag window over the
+    |nations × years| aggregated relation. The naive formulation
+    self-joins two copies of the rollup on yr = yr+1 and scans the
+    facts twice; the window form reads them once and shuffles the
+    tiny aggregate, not the join."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cn = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    yearly = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cn, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "nation",
+        "yr",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") / prev - 1.0).alias("yoy_growth"),
+    )
