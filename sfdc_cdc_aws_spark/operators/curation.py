@@ -148,11 +148,15 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut-or-keep decision actually needs.
 
     Plan: spans leave the tokenizer as (hash, doc_id) — 16 bytes per
-    span, never text. The per-hash distinct-doc count groups on h;
-    the occurrence stream joins it on the SAME key, so the exchange
-    is reused (one effective shuffle of span hashes plus the final
-    per-doc rollup). The unique-span tail never survives the n_docs
-    aggregate's map-side combine at scale."""
+    span, never text — and the corpus is scanned ONCE: the spans
+    collapse to (h, doc_id, occurrences) with a map-side partial (the
+    within-doc repeat combine), the per-hash distinct-doc count is
+    then just a row count per h — a JVM window over the already
+    hash-partitioned aggregate, no self-join and no second tokenize
+    pass — and the final per-doc rollup sums occurrence counts. The
+    unique-span tail dies at the first combine at scale."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens_col().alias("tk")).where(
         F.size("tk") >= SPAN_K
@@ -167,16 +171,15 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h"
         ),
     )
-    nd = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
-    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
-    return (
-        sp.join(nd, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(dup).cast("bigint").alias("n_dup_spans"),
-            (F.sum(dup).cast("double") / F.count("*")).alias("dup_frac"),
-        )
+    per_doc_hash = sp.groupBy("h", "doc_id").agg(F.count("*").alias("occ"))
+    with_nd = per_doc_hash.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("h"))
+    )
+    dup_occ = F.when(F.col("n_docs") >= 2, F.col("occ")).otherwise(0)
+    return with_nd.groupBy("doc_id").agg(
+        F.sum("occ").cast("bigint").alias("n_spans"),
+        F.sum(dup_occ).cast("bigint").alias("n_dup_spans"),
+        (F.sum(dup_occ).cast("double") / F.sum("occ")).alias("dup_frac"),
     )
 
 
