@@ -42,6 +42,10 @@ SPAN_K = 8  # tokens per exact-substring span
 
 BPE_TOP = 20  # merge candidates reported per iteration
 
+NOVELTY_N = 3  # token n-gram width for cross-doc novelty
+
+MIX_CAP = 3.0  # max upsampling weight per source (max epochs over a source)
+
 
 @query(
     "gopher_quality_rules",
@@ -243,4 +247,129 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("merge_rank", F.row_number().over(w))
         .where(F.col("merge_rank") <= BPE_TOP)
         .select("merge_rank", "pair", "cnt")
+    )
+
+
+@query(
+    "ngram_novelty",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         {DUCK_HASH64.format(
+             expr="list_aggregate(tk[i:i+" + str(NOVELTY_N - 1) + "], 'string_agg', ' ')"
+         )} AS h
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - {NOVELTY_N - 1})) AS i
+        FROM t WHERE len(tk) >= {NOVELTY_N})
+),
+f AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h)
+SELECT g.doc_id,
+       count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS novelty_frac
+FROM g JOIN f ON f.h = g.h
+GROUP BY g.doc_id
+""",
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram novelty: for each document, the fraction
+    of its distinct {NOVELTY_N}-gram hashes whose FIRST corpus
+    occurrence (min doc_id) is this document — the per-doc "new
+    information" signal a curation pass uses to rank near-boilerplate
+    documents below genuinely novel ones (the streaming analog is
+    what dedup-aware samplers call first-writer-wins attribution).
+
+    Plan: grams leave the scan as per-doc DISTINCT 8-byte hashes
+    (`array_distinct` runs narrow, inside the row, before the
+    explode — no dedup shuffle), so the one shuffle carries
+    (h, doc_id) pairs only. The first-writer doc is a `min` window
+    over the hash partition of that same shuffle output — no
+    self-join, no second scan — and the per-doc rollup is a map-side
+    partial count. Nothing in the plan holds text after tokenize.
+
+    Reference parity: no text surface in the reference (the Lambda
+    forwards CDC JSON bytes, worker/lambda/app.py:96-118); this
+    extends SURVEY.md §2.9's curation battery."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col().alias("tk")).where(
+        F.size("tk") >= NOVELTY_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - (NOVELTY_N - 1)),
+                    lambda i: shared_hash64(
+                        F.array_join(F.slice("tk", i, NOVELTY_N), " ")
+                    ),
+                )
+            )
+        ).alias("h"),
+    )
+    first = F.min("doc_id").over(Window.partitionBy("h"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.withColumn("first_doc", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count("*")).alias("novelty_frac"),
+        )
+    )
+
+
+@query(
+    "mixture_reweight",
+    oracle=f"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS actual_share,
+       least({MIX_CAP}, (1.0 / count(*) OVER ())
+         / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ())) AS weight,
+       (1.0 / count(*) OVER ())
+         / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()) > {MIX_CAP}
+         AS capped
+FROM s
+""",
+)
+def mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source token shares and the
+    sampling weight that moves the mixture toward a uniform
+    target share per source, capped at {MIX_CAP}× (the "max epochs"
+    guard every mixture spec carries so a tiny source can't be
+    upsampled without bound). `capped = true` rows are the sources
+    where the target is unreachable under the cap — surfaced, never
+    silently clipped.
+
+    Plan: one map-side-partial aggregate over documents (the shuffle
+    carries one row per source), then share/weight arithmetic as
+    window functions over the |sources|-row aggregate — a deliberate
+    single-partition window over a provably tiny metadata relation
+    (same posture as bpe_merge_step's final ranking)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col())).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    raw = (F.lit(1.0) / F.count("*").over(w)) / share
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("actual_share"),
+        F.least(F.lit(MIX_CAP), raw).alias("weight"),
+        (raw > MIX_CAP).alias("capped"),
     )

@@ -1,0 +1,149 @@
+"""Lakehouse-maintenance operators: small-file compaction planning
+and incremental (partition-wise) aggregate maintenance.
+
+Both are metadata-scale plans: the heavy scan collapses to one row
+per partition / month at the first map-side-partial aggregate, and
+everything after runs over a provably tiny relation. This is the
+tooling a 100 TB deployment of the engine runs nightly — the CDC
+landing sink (operators/sinks.py) produces many small files per
+entity by design, and compaction is what keeps the read side's
+`maxPartitionBytes` math honest.
+
+Reference parity: the reference leaves compaction to the AWS side
+(Firehose buffering, worker/template.yaml:52-58 buffers by size/time
+before S3 delivery); this module is that concern re-expressed as
+engine-native planning over file/partition statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+
+# Target rows per compacted output file. At sf0.1 lineitem has ~600k
+# rows over ~80 ship months (~7.5k rows/month), so bins hold a
+# handful of months — small enough that the plan splits and merges
+# both ways at every test SF.
+COMPACT_TARGET_ROWS = 8192
+
+# Incremental-maintenance cut: months strictly before the cut are the
+# "already materialized" aggregate state; months at/after it are the
+# fresh delta. Chosen inside the orders date range (1995-01..2001-08)
+# so both branches are non-empty at every test SF.
+IVM_CUT = "1999-01-01"
+
+
+@query(
+    "compaction_bin_pack",
+    oracle=f"""
+WITH p AS (
+  SELECT substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS part_key,
+         count(*) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT part_key, n_rows,
+         CAST(coalesce(sum(n_rows) OVER (ORDER BY part_key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM p
+)
+SELECT CAST(floor(CAST(start_off AS DOUBLE) / {COMPACT_TARGET_ROWS}) AS BIGINT)
+         AS bin_id,
+       count(*) AS n_parts,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       min(part_key) AS first_part,
+       max(part_key) AS last_part
+FROM o GROUP BY 1
+""",
+)
+def compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: pack date partitions of lineitem
+    into target-size output files by running offset — partition p
+    lands in bin floor(cum_rows_before_p / {COMPACT_TARGET_ROWS}).
+    Next-fit-by-offset keeps adjacent dates in the same output file
+    (preserving the range-prune story of the date layout, unlike
+    first-fit-decreasing which interleaves), and is a pure window
+    expression, so the SAME plan is the oracle.
+
+    Plan: the 100 TB scan collapses to one row per partition at a
+    map-side-partial count — the shuffle carries |partitions| rows,
+    i.e. metadata, not data. The running-offset window orders that
+    metadata relation on a single partition, which is deliberate and
+    safe at any corpus size (partition count grows with time, not
+    data volume; ~10^3-10^4 rows for years of daily partitions). The
+    executor that then rewrites each bin streams its member files
+    without ever seeing another bin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy(
+        F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("part_key")
+    ).agg(F.count("*").alias("n_rows"))
+    w = Window.orderBy("part_key").rowsBetween(Window.unboundedPreceding, -1)
+    o = p.withColumn(
+        "start_off", F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("bigint")
+    )
+    bin_id = F.floor(F.col("start_off").cast("double") / COMPACT_TARGET_ROWS)
+    return o.groupBy(bin_id.alias("bin_id")).agg(
+        F.count("*").alias("n_parts"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.min("part_key").alias("first_part"),
+        F.max("part_key").alias("last_part"),
+    )
+
+
+@query(
+    "ivm_agg_merge",
+    oracle="""
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS order_month,
+       count(*) AS n_orders,
+       sum(o_totalprice) AS revenue
+FROM orders GROUP BY 1
+""",
+)
+def ivm_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a monthly revenue rollup:
+    the engine computes the view as MERGE(state, delta) — the
+    partial aggregate over months before {IVM_CUT} (what a nightly
+    job would have materialized already) unioned with the partial
+    over the fresh tail, re-aggregated on the group key — while the
+    oracle recomputes the view from scratch. Equality IS the
+    maintenance contract: count/sum are mergeable partials, so the
+    view never needs the full history rescan.
+
+    The cut aligns with a month boundary, mirroring the real
+    layout (daily/monthly date partitions) where maintenance
+    appends new partitions and never rewrites closed ones; closed
+    months flow through the merge byte-identical. At 100 TB the
+    state branch reads the materialized rollup (metadata-scale),
+    not the fact table — here both branches derive from the same
+    scan so the oracle can replay the pipeline end-to-end.
+
+    Plan: two disjoint partition-pruned scans (the cut predicate
+    reaches the parquet reader), each with map-side partial
+    aggregation; the merge shuffle carries one row per (branch,
+    month)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+                "order_month"
+            )
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+
+    state = partial(o.where(F.col("o_orderdate") < IVM_CUT))
+    delta = partial(o.where(F.col("o_orderdate") >= IVM_CUT))
+    return (
+        state.unionByName(delta)
+        .groupBy("order_month")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("revenue").alias("revenue"),
+        )
+    )
