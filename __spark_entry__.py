@@ -23,9 +23,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registry by when each key last earned a green driver row, derived
 # from the committed CORRECTNESS_r0N.json artifacts (no hand-kept
 # lists to drift): never-verified keys first, then least-recently-
-# verified. sketch_suite (rows-only: no oracle SQL, so the weaker
-# check) is pinned to position 1 this round — it is the last of the
-# 101 keys without any driver row.
+# verified. Rows-only keys (no oracle SQL by design) count their
+# recorded rows-only driver row as verification, so they rotate like
+# every other key.
 _REPO_DIR = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
 
 
@@ -47,19 +47,24 @@ def _last_verified_round() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for key, row in rows.items():
-            if isinstance(row, dict) and row.get("rows_match") and not row.get("err"):
+            if not isinstance(row, dict):
+                continue
+            green = row.get("rows_match") and not row.get("err")
+            # rows-only keys (no oracle SQL by design) count as
+            # verified when the driver recorded their row count —
+            # that IS their whole check, so they rotate like the rest
+            # instead of camping at the head as "never verified".
+            rows_only = (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green or rows_only:
                 last[key] = max(last.get(key, 0), rnd)
     return last
 
 
 def _rotation_order(names: list[str]) -> list[str]:
     last = _last_verified_round()
-    pinned = [n for n in ("sketch_suite",) if n in names]
-    rest = sorted(
-        (n for n in names if n not in pinned),
-        key=lambda n: (last.get(n, -1), n),
-    )
-    return pinned + rest
+    return sorted(names, key=lambda n: (last.get(n, -1), n))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -732,3 +732,75 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# survivor election per LSH bucket (the keep-side of near-dup dedup)
+# ---------------------------------------------------------------------------
+
+@query(
+    "lsh_survivor_pick",
+    oracle=f"""
+WITH {_DUCK_SIG_CTE},
+bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(sig[b * {ROWS_PER_BAND} + 1 : (b + 1) * {ROWS_PER_BAND}],
+                         '-') AS bucket
+  FROM sigs, unnest(generate_series(0, {N_BANDS - 1})) AS u(b)
+),
+j AS (
+  SELECT bd.doc_id, bd.band_id, bd.bucket, d.n_chars
+  FROM bands bd JOIN documents d ON d.doc_id = bd.doc_id
+)
+SELECT band_id, bucket, n_members, survivor_doc, survivor_chars FROM (
+  SELECT band_id, bucket,
+         count(*) OVER (PARTITION BY band_id, bucket) AS n_members,
+         doc_id AS survivor_doc, n_chars AS survivor_chars,
+         row_number() OVER (PARTITION BY band_id, bucket
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM j
+) WHERE rn = 1 AND n_members >= 2
+""",
+)
+def lsh_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor election per MinHash LSH bucket — the KEEP side of
+    near-dup dedup: inside every candidate bucket with ≥2 members,
+    elect the canonical document by quality (longest n_chars, ties to
+    the lower doc_id). Bucket-local election is the admission-time
+    approximation a streaming pipeline uses (no global view needed);
+    ``dedup_clusters`` + a per-cluster pick is the batch-exact path.
+    A doc sitting in several buckets gets judged in each — the
+    union of losers is the drop candidate set.
+
+    Plan: signatures narrow (one fold, dedup.py::minhash_sig_df),
+    banding explodes to (doc_id, band, bucket) 3-tuples, the quality
+    column rides along from a broadcast-sized projection of
+    documents, and the election is ONE map-side-partial ``max_by``
+    aggregate keyed on (n_chars, -doc_id) — no window, no sort; the
+    shuffle carries per-bucket partial winners, not members."""
+    d = load_table(spark, sf_dir, "documents", widen=True)
+    bands = sig_bands(minhash_sig_df(d))
+    j = bands.join(d.select("doc_id", "n_chars"), "doc_id")
+    g = (
+        j.groupBy("band_id", "bucket")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max_by(
+                F.struct(
+                    F.col("doc_id").alias("d"), F.col("n_chars").alias("c")
+                ),
+                F.struct(
+                    F.col("n_chars").alias("c"),
+                    (-F.col("doc_id")).alias("negid"),
+                ),
+            ).alias("s"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+    return g.select(
+        "band_id",
+        "bucket",
+        "n_members",
+        F.col("s.d").alias("survivor_doc"),
+        F.col("s.c").alias("survivor_chars"),
+    )

@@ -55,11 +55,12 @@ def test_rotation_is_permutation_of_registry():
     keys = list(e.queries())
     assert len(keys) == len(set(keys)), "duplicate keys in rotation"
     assert set(keys) == set(registry.load_all()), "rotation != registry"
-    # rows-only keys (no DuckDB-expressible oracle): the mergeable
-    # sketch suites. sketch_suite is pinned first until it has a
-    # driver row; heavy_hitters_sketch is new this round so the
-    # rotation already places it in the driver window.
-    assert keys[0] == "sketch_suite"
+    # Never-driver-verified keys sort first so the driver's ~50-row
+    # window reaches them; both sketch keys earned their rows-only
+    # record in round 3, so nothing is pinned anymore.
+    last = e._last_verified_round()
+    order_keys = [(last.get(n, -1), n) for n in keys]
+    assert order_keys == sorted(order_keys), "rotation not least-recently-verified"
     oracles = e.oracle_sql()
     assert sorted(k for k in keys if k not in oracles) == [
         "heavy_hitters_sketch",

@@ -99,6 +99,23 @@ SHOWCASE = {
         "shuffle carries (key, partial) pairs, then one row per key space "
         "leaves the second aggregate."
     ),
+    "ngram_novelty": (
+        "per-doc distinct gram hashes built narrow (`array_distinct` "
+        "inside the row, before the explode); one exchange of 16-byte "
+        "(hash, doc) pairs feeds both the first-writer window and the "
+        "per-doc rollup."
+    ),
+    "compaction_bin_pack": (
+        "the scan collapses to one row per date partition at a map-side "
+        "partial; the running-offset window and bin rollup run over the "
+        "metadata-sized relation (a deliberate single-partition window)."
+    ),
+    "ivm_agg_merge": (
+        "both maintenance branches prune their scan with the cut "
+        "predicate (`PushedFilters` on o_orderdate); the merge shuffle "
+        "carries one row per (branch, month) — mergeable partials, no "
+        "history rescan."
+    ),
 }
 
 
