@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sfdc_cdc_aws_spark.registry import query
-from sfdc_cdc_aws_spark.sources.cdc_feed import CHANGES_CTE, changes, envelopes
+from sfdc_cdc_aws_spark.sources.cdc_feed import (
+    CHANGES_CTE,
+    ID_FMT,
+    changes,
+    envelopes,
+)
 
 
 @query(
@@ -277,4 +282,107 @@ def commit_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_changes"),
             F.sum("is_violation").alias("n_violations"),
         )
+    )
+
+
+# Snapshot-diff epoch boundary: 2024-01-16T00:00:00Z in epoch millis.
+# The synthetic feed spans 2024-01-01..01-30 at every SF, so both the
+# "old" and "new" epochs are non-degenerate at sf0.001/0.01/0.1. A
+# numeric constant (not a timestamp literal) keeps the predicate pure
+# arithmetic on commit_ts_ms — no timezone semantics on either side.
+DIFF_CUT_MS = 1_705_363_200_000
+
+
+@query(
+    "snapshot_diff",
+    oracle=f"""
+WITH {CHANGES_CTE},
+a AS (
+  SELECT entity_name, uid, change_type, replay_id FROM (
+    SELECT entity_name, uid, change_type, replay_id,
+           row_number() OVER (PARTITION BY entity_name, uid
+                              ORDER BY commit_ts_ms DESC, replay_id DESC) AS rn
+    FROM changes WHERE commit_ts_ms < {DIFF_CUT_MS}
+  ) WHERE rn = 1
+),
+b AS (
+  SELECT entity_name, uid, change_type, replay_id FROM (
+    SELECT entity_name, uid, change_type, replay_id,
+           row_number() OVER (PARTITION BY entity_name, uid
+                              ORDER BY commit_ts_ms DESC, replay_id DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT entity_name, record_id, diff_type, old_replay_id, new_replay_id
+FROM (
+  SELECT b.entity_name,
+         printf('00D%015d', b.uid) AS record_id,
+         CASE
+           WHEN b.change_type <> 'DELETE'
+                AND NOT coalesce(a.change_type <> 'DELETE', FALSE)
+             THEN 'INSERT'
+           WHEN b.change_type <> 'DELETE' AND a.change_type <> 'DELETE'
+                AND b.replay_id <> a.replay_id
+             THEN 'UPDATE'
+           WHEN b.change_type = 'DELETE' AND a.change_type <> 'DELETE'
+             THEN 'DELETE'
+         END AS diff_type,
+         a.replay_id AS old_replay_id,
+         b.replay_id AS new_replay_id
+  FROM b LEFT JOIN a ON b.entity_name = a.entity_name AND b.uid = a.uid
+) WHERE diff_type IS NOT NULL
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff of two snapshot epochs of the CDC lake — the change set a
+    consumer that refreshes from snapshots (instead of tailing the
+    stream) must apply. Epoch A is the latest state per key as of
+    {DIFF_CUT_MS}; epoch B is the latest state over the full feed;
+    the diff classifies every key whose live state differs:
+
+    * ``INSERT`` — live in B, absent-or-dead in A (covers UNDELETE
+      after a DELETE, per SURVEY §7 liveness = ``<> 'DELETE'``);
+    * ``UPDATE`` — live in both but a newer change landed after A;
+    * ``DELETE`` — live in A, dead in B.
+
+    Keys untouched since the cut compare equal and vanish — the diff
+    is empty exactly when no change committed after the cut, which is
+    the correctness contract of snapshot-based replication (the batch
+    analog of resuming from a stored replayId,
+    ReplayExtension.java:39-82).
+
+    Plan: ONE shuffle total. Both epoch states come out of a single
+    ``groupBy(entity, uid)`` — ``max(struct(ts, replay, change_type))``
+    for B and the same over a ``when(ts < cut)`` guard for A (``max``
+    skips the NULLed-out late rows, and struct comparison is
+    lexicographic on the same (ts, replay) total order the flagship
+    uses) — so the 100 TB changelog is read once, combined map-side,
+    and shuffled only as unique keys. The oracle spells the same
+    semantics as two row_number windows + left join, which is the
+    slow-but-obvious form."""
+    ch = changes(spark, sf_dir)
+    ordered = F.struct("commit_ts_ms", "replay_id", "change_type")
+    agg = ch.groupBy("entity_name", "uid").agg(
+        F.max(ordered).alias("b"),
+        F.max(F.when(F.col("commit_ts_ms") < DIFF_CUT_MS, ordered)).alias("a"),
+    )
+    live_a = F.coalesce(F.col("a.change_type") != "DELETE", F.lit(False))
+    live_b = F.col("b.change_type") != "DELETE"
+    diff_type = (
+        F.when(live_b & ~live_a, "INSERT")
+        .when(
+            live_b & live_a & (F.col("b.replay_id") != F.col("a.replay_id")),
+            "UPDATE",
+        )
+        .when(~live_b & live_a, "DELETE")
+    )
+    return (
+        agg.select(
+            "entity_name",
+            F.format_string(ID_FMT, F.col("uid")).alias("record_id"),
+            diff_type.alias("diff_type"),
+            F.col("a.replay_id").alias("old_replay_id"),
+            F.col("b.replay_id").alias("new_replay_id"),
+        )
+        .where(F.col("diff_type").isNotNull())
     )

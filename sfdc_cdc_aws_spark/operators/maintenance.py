@@ -147,3 +147,81 @@ def ivm_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue").alias("revenue"),
         )
     )
+
+
+# file_skipping_plan predicates — a conjunctive query
+#   o_orderdate IN 1996 AND o_totalprice >= 400000 AND o_orderkey <= 1000
+# evaluated against per-partition zone maps (min/max stats).
+SKIP_DATE_LO = "1996-01"
+SKIP_DATE_HI = "1996-12"
+SKIP_PRICE_LO = 400_000.0
+SKIP_KEY_HI = 1_000
+
+
+@query(
+    "file_skipping_plan",
+    oracle=f"""
+WITH stats AS (
+  SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS part_key,
+         count(*) AS n_rows,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+  FROM orders GROUP BY 1
+)
+SELECT part_key, n_rows, min_price, max_price, min_key, max_key,
+       (part_key >= '{SKIP_DATE_LO}' AND part_key <= '{SKIP_DATE_HI}')
+         AS read_date,
+       (max_price >= {SKIP_PRICE_LO}) AS read_price,
+       (min_key <= {SKIP_KEY_HI}) AS read_key,
+       (part_key >= '{SKIP_DATE_LO}' AND part_key <= '{SKIP_DATE_HI}'
+        AND max_price >= {SKIP_PRICE_LO} AND min_key <= {SKIP_KEY_HI})
+         AS must_read
+FROM stats
+""",
+)
+def file_skipping_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning planner: the per-partition min/max manifest
+    (what Delta/Iceberg keep per file) evaluated against a
+    conjunctive query, deciding which partitions the scan may skip.
+    Each predicate gets its own verdict so the report shows WHICH
+    dimension prunes in a date-partitioned layout: the date range
+    prunes to its months (partition key ≡ zone boundary), while the
+    price and key ranges prune almost nothing — their values are
+    uncorrelated with the date layout, so every zone straddles the
+    predicate. That asymmetry is the empirical case for the engine's
+    sort-based layouts (range_sorted_scan, zorder_box_scan): zone
+    maps are only as good as the clustering under them.
+
+    Plan: metadata-scale like compaction_bin_pack — the scan
+    collapses to one row per partition at a map-side partial min/max/
+    count, the shuffle carries |partitions| rows, and the predicate
+    evaluation runs over that tiny manifest. At 100 TB the stats
+    come from the table format's manifest instead of a scan; the
+    planner itself is unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy(
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("part_key")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    read_date = (F.col("part_key") >= SKIP_DATE_LO) & (
+        F.col("part_key") <= SKIP_DATE_HI
+    )
+    read_price = F.col("max_price") >= SKIP_PRICE_LO
+    read_key = F.col("min_key") <= SKIP_KEY_HI
+    return stats.select(
+        "part_key",
+        "n_rows",
+        "min_price",
+        "max_price",
+        "min_key",
+        "max_key",
+        read_date.alias("read_date"),
+        read_price.alias("read_price"),
+        read_key.alias("read_key"),
+        (read_date & read_price & read_key).alias("must_read"),
+    )

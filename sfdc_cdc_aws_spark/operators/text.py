@@ -761,3 +761,139 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c").cast("double"), 6).alias("bm25"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# character entropy + vocabulary coverage
+# ---------------------------------------------------------------------------
+
+@query(
+    "char_entropy",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS s
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(s) + 1),
+                               i -> s[CAST(i AS INT)])) AS ch
+  FROM s WHERE len(s) > 0
+),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+e AS (
+  SELECT cnt.doc_id,
+         round(-sum((c * 1.0 / n.n) * ln(c * 1.0 / n.n)), 6) + 0.0
+           AS char_entropy
+  FROM cnt JOIN (SELECT doc_id, len(s) AS n FROM s) n
+    ON cnt.doc_id = n.doc_id
+  GROUP BY cnt.doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.s) AS BIGINT) AS n_alpha,
+       coalesce(e.char_entropy, 0.0) AS char_entropy
+FROM s LEFT JOIN e ON s.doc_id = e.doc_id
+""",
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the letter distribution per document — the
+    classic gibberish/boilerplate filter (machine-generated spam and
+    key-mash text sit far below natural-language entropy; base64
+    blobs far above the per-language norm). Teamed with
+    ``repetition_score`` and ``quality_score`` it completes the cheap
+    statistical quality battery run before any model-based scoring.
+
+    Plan: ZERO shuffle — the letter histogram is computed per row
+    with higher-order functions (``array_distinct`` → ``transform`` →
+    ``aggregate``), so the whole query is one narrow whole-stage-
+    codegen pass over the corpus; 26 bounded distinct values make the
+    per-row transform O(26·n_chars). The ``+ 0.0`` normalizes IEEE
+    ``-0.0`` (single-letter-class docs) so both engines hash alike.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    chars = F.filter(F.split(s, ""), lambda x: x != F.lit(""))
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    p = lambda cnt: cnt.cast("double") / n  # noqa: E731
+    ent = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, cnt: acc + p(cnt) * F.log(p(cnt)),
+    )
+    return d.select(
+        "doc_id",
+        F.length(s).cast("bigint").alias("n_alpha"),
+        F.when(n > 0, F.round(ent, 6) + 0.0).otherwise(0.0).alias("char_entropy"),
+    )
+
+
+OOV_VOCAB_K = 256  # tokenizer vocabulary budget for coverage stats
+
+
+@query(
+    "oov_rate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents
+),
+uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT {OOV_VOCAB_K}),
+per_doc AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.w = v.w
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+FROM per_doc
+""",
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: fix the corpus's own top-{OOV_VOCAB_K}
+    tokens as the "tokenizer vocabulary" and report, per document,
+    how many token occurrences fall outside it. The aggregate answer
+    — which documents a fixed vocab covers poorly — drives both
+    tokenizer sizing and the routing of high-OOV docs (code, other
+    languages, noise) away from a text-only training mix.
+
+    Plan: two passes over the token explode, both cheap. Pass 1 is
+    the corpus unigram count (map-side partial, shuffle carries
+    unique tokens) followed by a global top-K on the UNIQUE-token
+    relation — a {OOV_VOCAB_K}-row result via Spark's
+    TakeOrderedAndProject, not a full sort. Pass 2 re-explodes and
+    probes the broadcast {OOV_VOCAB_K}-entry vocab (hash lookup, no
+    shuffle), then aggregates per doc with a map-side partial. Ties
+    at the vocab boundary break (count DESC, token ASC) so the K-th
+    seat is deterministic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col()).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(OOV_VOCAB_K)
+        .select(F.col("w").alias("vw"))
+    )
+    joined = toks.join(
+        F.broadcast(vocab), toks["w"] == vocab["vw"], "left"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("vw").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

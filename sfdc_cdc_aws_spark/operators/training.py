@@ -306,3 +306,60 @@ def corpus_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(h < src_num % 4 * 50 + 50)
         .select("doc_id", "source", "pred_lang", "n_tokens")
     )
+
+
+N_SHARDS = 8  # output-shard budget; production sizes this to the
+              # target file count (total_bytes / file_size), not cores
+
+
+@query(
+    "global_shuffle_shard",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, source,
+         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS key,
+         ({DUCK_HASH64.format(expr="'shuffle:' || CAST(doc_id AS VARCHAR)")})
+           % {N_SHARDS} AS shard_id
+  FROM documents
+)
+SELECT doc_id, source, shard_id,
+       row_number() OVER (PARTITION BY shard_id ORDER BY key, doc_id)
+         AS pos
+FROM k
+""",
+)
+def global_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global training-data shuffle: every document gets a
+    deterministic shard and a deterministic position inside it, by
+    hashing the stable key — the reproducible equivalent of
+    "shuffle the corpus once before training". Hash-keyed placement
+    means any engine, any run, any subset of workers produces the
+    SAME shard files, so a resumed or re-run job never reshuffles
+    training order (which would silently change the data curriculum).
+
+    Plan: one shuffle, keyed by shard. The md5 sort key is computed
+    narrow; the window's PARTITION BY shard_id ORDER BY key is
+    exactly "repartition into {N_SHARDS} writers, sort within each"
+    — the write path of a sharded training-set export. Each shard
+    must fit its writer task (corpus_bytes / {N_SHARDS}); production
+    raises N_SHARDS with corpus size (it is a file-count budget, not
+    a parallelism constant), keeping per-task volume flat."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    shard = (
+        shared_hash64(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+        % N_SHARDS
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard_id").orderBy("key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            shard.alias("shard_id"),
+            key.alias("key"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "source", "shard_id", "pos")
+    )

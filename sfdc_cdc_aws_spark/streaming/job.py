@@ -609,3 +609,69 @@ FROM changes GROUP BY 1
 
 
 _borrow_oracles()
+
+
+# ---------------------------------------------------------------------------
+# at-least-once → exactly-once: state-bounded streaming dedup
+# ---------------------------------------------------------------------------
+
+def _dup_wire_stream(spark: SparkSession, landing: str) -> DataFrame:
+    """The change feed delivered TWICE — two readStream readers over
+    the same landing dir, unioned — the deterministic stand-in for
+    the bus redelivering every record (the at-least-once failure mode
+    the reference tolerates by overwrite-on-Id, SURVEY.md §1.5)."""
+    def one() -> DataFrame:
+        return parse_wire(spark.readStream.schema(WIRE_SCHEMA).json(landing))
+
+    return one().unionByName(one())
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle=None,  # set below: the exact distinct change feed
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once delivery recovered from a duplicated stream with
+    BOUNDED state: every wire record arrives twice (union of two
+    readers ≙ bus redelivery), and ``dropDuplicatesWithinWatermark``
+    must emit each change exactly once. Unlike the plain
+    ``dropDuplicates`` in :func:`changes_stream` — whose state holds
+    every key ever seen unless the watermark horizon covers the whole
+    replay — the WithinWatermark variant evicts a key's state as the
+    watermark passes it, so steady-state memory is bounded by the
+    duplicate-arrival window (bus retention), not by stream history.
+    That is the production shape: state ∝ retention window at any
+    corpus size. The replay horizon here only needs to cover how far
+    apart the two deliveries of one record can land in event time —
+    they arrive in the same availableNow batch, so any horizon works;
+    the verification is the batch oracle: the exact distinct feed."""
+    landing = ensure_landing(spark, sf_dir)
+    deduped = (
+        _dup_wire_stream(spark, landing)
+        .withWatermark("commit_ts", REPLAY_DEDUP_HORIZON)
+        .dropDuplicatesWithinWatermark(["replay_id", "record_id"])
+    )
+    drained = run_available_now(deduped, "dedup_wm")
+    return drained.select(
+        "entity_name", "record_id", "uid", "change_type",
+        "commit_ts_ms", "replay_id", "commit_number",
+    )
+
+
+def _set_dedup_wm_oracle() -> None:
+    from dataclasses import replace
+
+    from sfdc_cdc_aws_spark.sources.cdc_feed import CHANGES_CTE
+
+    QUERIES["stream_dedup_within_watermark"] = replace(
+        QUERIES["stream_dedup_within_watermark"],
+        oracle=f"""
+WITH {CHANGES_CTE}
+SELECT entity_name, record_id, uid, change_type,
+       commit_ts_ms, replay_id, commit_number
+FROM changes
+""",
+    )
+
+
+_set_dedup_wm_oracle()

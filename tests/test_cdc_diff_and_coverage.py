@@ -1,0 +1,110 @@
+"""Invariant tests for the round-4 additions beyond the oracle hash:
+snapshot_diff's apply-the-diff contract, shard contiguity, entropy /
+OOV bounds, and the pruning asymmetry of the zone-map planner.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.operators.cdc_analytics import DIFF_CUT_MS, snapshot_diff
+from sfdc_cdc_aws_spark.operators.maintenance import file_skipping_plan
+from sfdc_cdc_aws_spark.operators.text import char_entropy, oov_rate
+from sfdc_cdc_aws_spark.operators.training import N_SHARDS, global_shuffle_shard
+from sfdc_cdc_aws_spark.sources import load_table
+from sfdc_cdc_aws_spark.sources.cdc_feed import changes
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+
+def _live_keys(spark, sf_dir, cut_ms=None):
+    """Live (entity, uid) keys of the snapshot at a replay cut."""
+    ch = changes(spark, sf_dir)
+    if cut_ms is not None:
+        ch = ch.where(F.col("commit_ts_ms") < cut_ms)
+    last = ch.groupBy("entity_name", "uid").agg(
+        F.max(F.struct("commit_ts_ms", "replay_id", "change_type")).alias("b")
+    )
+    rows = last.where(F.col("b.change_type") != "DELETE").collect()
+    return {(r.entity_name, r.uid) for r in rows}
+
+
+def test_snapshot_diff_applies_a_to_b(spark):
+    """THE diff contract: live(B) = (live(A) - DELETEs) | INSERTs,
+    and UPDATE keys are live on both sides."""
+    a = _live_keys(spark, SF_ORACLE, DIFF_CUT_MS)
+    b = _live_keys(spark, SF_ORACLE)
+    diff = snapshot_diff(spark, SF_ORACLE).collect()
+    key = lambda r: (r.entity_name, int(r.record_id[3:]))  # noqa: E731
+    ins = {key(r) for r in diff if r.diff_type == "INSERT"}
+    upd = {key(r) for r in diff if r.diff_type == "UPDATE"}
+    dele = {key(r) for r in diff if r.diff_type == "DELETE"}
+    assert ins and upd and dele, "degenerate diff fixture"
+    assert (a - dele) | ins == b
+    assert upd <= (a & b)
+    assert not (ins & dele) and not (ins & upd) and not (upd & dele)
+    # every UPDATE/DELETE names the old version; INSERT the new one
+    for r in diff:
+        assert r.new_replay_id is not None
+        if r.diff_type in ("UPDATE", "DELETE"):
+            assert r.old_replay_id is not None
+            assert r.new_replay_id != r.old_replay_id
+
+
+def test_global_shuffle_shard_contiguous_positions(spark):
+    rows = global_shuffle_shard(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard_id < N_SHARDS
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_char_entropy_bounds(spark):
+    rows = char_entropy(spark, SF_SMOKE).collect()
+    hi = math.log(26) + 1e-6
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.char_entropy <= hi
+        assert (r.char_entropy == 0.0) == (r.n_alpha <= 1) or r.n_alpha > 0
+
+
+def test_oov_rate_bounds_and_token_conservation(spark):
+    rows = oov_rate(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0
+    # token totals conserve vs a direct count
+    direct = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), r"\W+"), lambda x: x != F.lit("")
+                )
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_tokens for r in rows) == direct
+
+
+def test_file_skipping_prunes_by_date_only(spark):
+    plan = file_skipping_plan(spark, SF_ORACLE).collect()
+    assert plan
+    for r in plan:
+        # conjunctive must_read never exceeds any single-predicate verdict
+        assert r.must_read == (r.read_date and r.read_price and r.read_key)
+        assert r.read_date == ("1996-01" <= r.part_key <= "1996-12")
+    # the asymmetry the op exists to show: the date dimension prunes
+    # (layout-aligned), the uncorrelated dimensions prune ~nothing
+    n = len(plan)
+    assert sum(r.read_date for r in plan) < n
+    assert sum(r.read_price for r in plan) >= n - 1
+    assert sum(r.read_key for r in plan) >= n - 1

@@ -116,6 +116,19 @@ SHOWCASE = {
         "carries one row per (branch, month) — mergeable partials, no "
         "history rescan."
     ),
+    "snapshot_diff": (
+        "ONE shuffle for both snapshot epochs: a single hash aggregate "
+        "computes `max(struct)` for the full feed and a `when`-guarded "
+        "`max(struct)` for the cut epoch side-by-side (both with "
+        "map-side partials), so the changelog is scanned once and the "
+        "exchange carries unique keys — no window, no self-join of two "
+        "snapshot subqueries (that is the oracle's slow form)."
+    ),
+    "file_skipping_plan": (
+        "metadata-scale planning: one map-side-partial min/max/count "
+        "collapses the scan to a row per partition; every predicate "
+        "verdict evaluates over the |partitions|-row manifest."
+    ),
 }
 
 
