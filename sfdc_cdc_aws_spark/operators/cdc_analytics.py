@@ -386,3 +386,169 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("diff_type").isNotNull())
     )
+
+
+# Tombstone retention horizon: tombstones committed before this are
+# eligible for physical purge. Mid-feed (the synthetic feed spans
+# 2024-01-01..01-30 at every SF) so the plan is non-degenerate at
+# sf0.001/0.01/0.1.
+PURGE_BEFORE_MS = 1_705_968_000_000  # 2024-01-23T00:00:00Z
+
+
+@query(
+    "tombstone_purge_plan",
+    oracle=f"""
+WITH {CHANGES_CTE},
+last AS (
+  SELECT entity_name, uid, change_type, commit_ts_ms, n_changes FROM (
+    SELECT entity_name, uid, change_type, commit_ts_ms,
+           count(*) OVER (PARTITION BY entity_name, uid) AS n_changes,
+           row_number() OVER (PARTITION BY entity_name, uid
+                              ORDER BY commit_ts_ms DESC, replay_id DESC)
+             AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT entity_name,
+       printf('00D%015d', uid) AS record_id,
+       commit_ts_ms AS deleted_at_ms,
+       CAST(n_changes AS BIGINT) AS n_lifetime_changes
+FROM last
+WHERE change_type = 'DELETE' AND commit_ts_ms < {PURGE_BEFORE_MS}
+""",
+)
+def tombstone_purge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention sweep over the change log: keys whose CURRENT state
+    is a tombstone older than the retention horizon — the rows a
+    GDPR/TTL purge job physically deletes from the lake. Liveness is
+    decided by the LATEST change only (a key deleted then UNDELETEd
+    is live and never purged — same liveness predicate as the
+    flagship, SURVEY §7), and the lifetime change count rides along
+    for the audit record the purge must write.
+
+    Plan: one ``groupBy(entity, uid)`` with map-side partials
+    computing the latest change (``max(struct)`` on the flagship's
+    (ts, replay) total order) and the lifetime count side-by-side —
+    the changelog shuffles once as unique keys, exactly like
+    snapshot_diff. The oracle spells it as a window + count window;
+    the aggregate form is the 100 TB plan."""
+    ch = changes(spark, sf_dir)
+    agg = ch.groupBy("entity_name", "uid").agg(
+        F.max(F.struct("commit_ts_ms", "replay_id", "change_type")).alias("last"),
+        F.count("*").alias("n_lifetime_changes"),
+    )
+    return (
+        agg.where(
+            (F.col("last.change_type") == "DELETE")
+            & (F.col("last.commit_ts_ms") < PURGE_BEFORE_MS)
+        )
+        .select(
+            "entity_name",
+            F.format_string(ID_FMT, F.col("uid")).alias("record_id"),
+            F.col("last.commit_ts_ms").alias("deleted_at_ms"),
+            "n_lifetime_changes",
+        )
+    )
+
+
+# Redelivery model for the arrival log: every event whose replay_id
+# is a multiple of REDELIVER_EVERY is delivered AGAIN by the bus,
+# REDELIVER_LAG arrival slots after its first delivery (arrival slots
+# are 2*replay_id so the lagged copy interleaves between originals).
+REDELIVER_EVERY = 50
+REDELIVER_LAG = 71
+
+
+@query(
+    "late_arrival_report",
+    oracle=f"""
+WITH {CHANGES_CTE},
+arrivals AS (
+  SELECT entity_name, commit_ts_ms, record_id,
+         replay_id * 2 AS arrival_seq, FALSE AS is_redelivery
+  FROM changes
+  UNION ALL
+  SELECT entity_name, commit_ts_ms, record_id,
+         replay_id * 2 + {{REDELIVER_LAG}} AS arrival_seq,
+         TRUE AS is_redelivery
+  FROM changes WHERE replay_id % {{REDELIVER_EVERY}} = 0
+),
+seq AS (
+  SELECT entity_name, commit_ts_ms, is_redelivery,
+         max(commit_ts_ms) OVER (PARTITION BY entity_name
+                                 ORDER BY arrival_seq, record_id
+                                 ROWS UNBOUNDED PRECEDING) AS high_water
+  FROM arrivals
+)
+SELECT entity_name,
+       count(*) AS n_arrivals,
+       CAST(sum(CASE WHEN is_redelivery THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redelivered,
+       CAST(sum(CASE WHEN commit_ts_ms < high_water THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       max(high_water - commit_ts_ms) AS max_lateness_ms
+FROM seq GROUP BY entity_name
+""".format(REDELIVER_LAG=REDELIVER_LAG, REDELIVER_EVERY=REDELIVER_EVERY),
+)
+def late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late can a duplicate arrive? — the measured event-time
+    disorder of an at-least-once arrival log, which is exactly the
+    number that SIZES the streaming dedup watermark: ``withWatermark``
+    horizons (streaming/job.py PROD_DEDUP_HORIZON ≙ bus retention,
+    subscriber.yaml:39-40) are correct iff they cover the max
+    lateness measured here, and this report turns that setting from
+    a config guess into a property of the feed. The arrival log
+    models the bus redelivering every {REDELIVER_EVERY}th event
+    {REDELIVER_LAG} arrival slots later (the reference tolerates
+    redelivery by overwrite-on-Id, SURVEY.md §1.5); each arrival's
+    lateness is measured against the per-entity event-time
+    high-water mark in arrival order — watermarks advance per
+    partition-key ordering domain (Kinesis orders per partitionKey =
+    entityName, KinesisExample.java:108).
+
+    Plan: the redelivery branch is a second pushed-down scan unioned
+    under the window (map-side, no extra shuffle); the running-max
+    window shuffles the log once on entity, and the final aggregate
+    combines map-side. At 100 TB the same report runs per
+    (entity, day) to keep window partitions bounded."""
+    ch = changes(spark, sf_dir)
+    originals = ch.select(
+        "entity_name",
+        "commit_ts_ms",
+        "record_id",
+        (F.col("replay_id") * 2).alias("arrival_seq"),
+        F.lit(False).alias("is_redelivery"),
+    )
+    redelivered = ch.where(F.col("replay_id") % REDELIVER_EVERY == 0).select(
+        "entity_name",
+        "commit_ts_ms",
+        "record_id",
+        (F.col("replay_id") * 2 + REDELIVER_LAG).alias("arrival_seq"),
+        F.lit(True).alias("is_redelivery"),
+    )
+    arrivals = originals.unionByName(redelivered)
+    w = (
+        Window.partitionBy("entity_name")
+        .orderBy("arrival_seq", "record_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hw = F.max("commit_ts_ms").over(w)
+    return (
+        arrivals.select(
+            "entity_name",
+            "commit_ts_ms",
+            "is_redelivery",
+            hw.alias("high_water"),
+        )
+        .groupBy("entity_name")
+        .agg(
+            F.count("*").alias("n_arrivals"),
+            F.sum(F.col("is_redelivery").cast("long")).alias("n_redelivered"),
+            F.sum(
+                (F.col("commit_ts_ms") < F.col("high_water")).cast("long")
+            ).alias("n_late"),
+            F.max(F.col("high_water") - F.col("commit_ts_ms")).alias(
+                "max_lateness_ms"
+            ),
+        )
+    )

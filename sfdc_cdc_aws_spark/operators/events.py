@@ -146,3 +146,94 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+RFM_TILES = 4  # quartile segmentation
+
+
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+WITH anchor AS (SELECT max(epoch_ms(ts)) AS now_ms FROM events
+                WHERE event_type = 'purchase'),
+per_user AS (
+  SELECT user_id,
+         CAST(a.now_ms - max(epoch_ms(ts)) AS BIGINT) AS recency_ms,
+         count(*) AS frequency,
+         round(sum(value), 6) AS monetary
+  FROM events CROSS JOIN anchor a
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, a.now_ms
+),
+tiled AS (
+  SELECT user_id, recency_ms, frequency, monetary,
+         ntile({RFM_TILES}) OVER (ORDER BY recency_ms, user_id) AS r_tile,
+         ntile({RFM_TILES}) OVER (ORDER BY frequency DESC, user_id) AS f_tile,
+         ntile({RFM_TILES}) OVER (ORDER BY monetary DESC, user_id) AS m_tile
+  FROM per_user
+)
+SELECT user_id, recency_ms, frequency, monetary,
+       r_tile, f_tile, m_tile,
+       CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR)
+         || CAST(m_tile AS VARCHAR) AS segment
+FROM tiled
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation
+    over purchase events — the classic lifecycle scoring: per user,
+    time since last purchase, purchase count, and revenue, each cut
+    into {RFM_TILES} quantile tiles; the concatenated tile digits are
+    the segment label ("111" = best, "444" = churned).
+
+    Plan: one shuffle of the (pushed-down-filtered) purchase events
+    on user_id with map-side partial aggregates; the three ntile
+    windows then run over the per-USER relation — orders of magnitude
+    smaller than the event log, the standard cardinality cliff that
+    makes global quantile windows affordable (the same relation a
+    mart would materialize). Deterministic tie-break (metric,
+    user_id) makes ntile's row numbering — and therefore every tile —
+    identical across engines. The recency anchor is the data's own
+    max timestamp (broadcast scalar), so the query is reproducible
+    with no wall-clock input."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    ms = F.unix_millis("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(ms).alias("last_ms"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    anchor = per_user.agg(F.max("last_ms").alias("now_ms"))
+    from pyspark.sql import Window
+
+    u = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (F.col("now_ms") - F.col("last_ms")).alias("recency_ms"),
+        "frequency",
+        "monetary",
+    )
+    r_t = F.ntile(RFM_TILES).over(Window.orderBy("recency_ms", "user_id"))
+    f_t = F.ntile(RFM_TILES).over(
+        Window.orderBy(F.col("frequency").desc(), "user_id")
+    )
+    m_t = F.ntile(RFM_TILES).over(
+        Window.orderBy(F.col("monetary").desc(), "user_id")
+    )
+    return u.select(
+        "user_id",
+        "recency_ms",
+        "frequency",
+        "monetary",
+        r_t.alias("r_tile"),
+        f_t.alias("f_tile"),
+        m_t.alias("m_tile"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_tile").cast("string"),
+            F.col("f_tile").cast("string"),
+            F.col("m_tile").cast("string"),
+        ),
+    )

@@ -211,3 +211,67 @@ def audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "media_dedup_exact",
+    oracle="""
+WITH uploads AS (
+  SELECT d.doc_id, s.text
+  FROM documents d JOIN documents s
+    ON s.doc_id = d.doc_id - (CASE WHEN d.doc_id % 10 = 7 THEN 1 ELSE 0 END)
+)
+SELECT md5(text) AS content_md5,
+       count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id,
+       count(DISTINCT CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                                      WHEN 1 THEN 'audio/wav'
+                                      ELSE 'video/mp4' END) AS n_mimes
+FROM uploads
+GROUP BY 1 HAVING count(*) >= 2
+""",
+)
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed media dedup over an upload log: group
+    payloads by md5 of the raw bytes and report every duplicate
+    group with its keeper (the lowest doc_id) — the storage-dedup
+    primitive of a media lake (identical bytes uploaded under
+    different ids/mimes store once). The synthetic upload log makes
+    the fixture non-degenerate deterministically: every doc_id ≡ 7
+    (mod 10) re-uploads the previous document's bytes under its own
+    id and mime — so most duplicate groups also show ``n_mimes = 2``,
+    the byte-identical-but-differently-registered catalog-hygiene
+    signal that text-level dedup has no analog for.
+
+    Plan: the payload-fetch self-join is an equi-join on doc_id
+    (broadcast- or co-partitionable); the md5 is computed narrow and
+    the dedup shuffle carries (32-byte digest, partial aggregates)
+    after a map-side partial — payload bytes themselves never move.
+    Same discipline as exact_dedup_docs (dedup.py), applied to raw
+    media bytes instead of normalized text."""
+    d = load_table(spark, sf_dir, "documents")
+    src_id = F.col("u.doc_id") - F.when(
+        F.col("u.doc_id") % 10 == 7, F.lit(1)
+    ).otherwise(F.lit(0))
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in _MIMES]),
+        (F.col("u.doc_id") % 3 + 1).cast("int"),
+    )
+    uploads = (
+        d.alias("u")
+        .join(d.alias("s"), F.col("s.doc_id") == src_id)
+        .select(
+            F.col("u.doc_id").alias("doc_id"),
+            mime.alias("mime"),
+            F.encode(F.col("s.text"), "utf-8").alias("payload"),
+        )
+    )
+    return (
+        uploads.groupBy(F.md5(F.col("payload")).alias("content_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count_distinct(F.col("mime")).alias("n_mimes"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )

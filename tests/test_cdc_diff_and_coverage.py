@@ -71,7 +71,8 @@ def test_char_entropy_bounds(spark):
     assert rows
     for r in rows:
         assert 0.0 <= r.char_entropy <= hi
-        assert (r.char_entropy == 0.0) == (r.n_alpha <= 1) or r.n_alpha > 0
+        if r.n_alpha <= 1:
+            assert r.char_entropy == 0.0
 
 
 def test_oov_rate_bounds_and_token_conservation(spark):
@@ -108,3 +109,59 @@ def test_file_skipping_prunes_by_date_only(spark):
     assert sum(r.read_date for r in plan) < n
     assert sum(r.read_price for r in plan) >= n - 1
     assert sum(r.read_key for r in plan) >= n - 1
+
+
+def test_tombstone_purge_never_touches_live_keys(spark):
+    from sfdc_cdc_aws_spark.operators.cdc_analytics import (
+        PURGE_BEFORE_MS,
+        tombstone_purge_plan,
+    )
+
+    purge = tombstone_purge_plan(spark, SF_ORACLE).collect()
+    assert purge, "degenerate purge fixture"
+    live = _live_keys(spark, SF_ORACLE)
+    purged = {(r.entity_name, int(r.record_id[3:])) for r in purge}
+    assert not (purged & live)
+    for r in purge:
+        assert r.deleted_at_ms < PURGE_BEFORE_MS
+        assert r.n_lifetime_changes >= 1
+
+
+def test_media_dedup_groups_are_real_duplicates(spark):
+    from sfdc_cdc_aws_spark.operators.multimodal import media_dedup_exact
+
+    groups = media_dedup_exact(spark, SF_ORACLE).collect()
+    # every doc_id ≡ 7 (mod 10) re-uploads doc_id-1's bytes, so there
+    # is one duplicate group per such pair (unless source texts merge)
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id").collect()
+    ids = {r.doc_id for r in docs}
+    expected_pairs = sum(1 for i in ids if i % 10 == 7 and i - 1 in ids)
+    assert groups and len(groups) <= expected_pairs
+    assert sum(g.n_copies - 1 for g in groups) == expected_pairs
+    for g in groups:
+        assert g.n_copies >= 2
+        # keeper is the original upload: consecutive ids never both ≡7
+        assert g.keeper_doc_id % 10 != 7
+        assert g.n_mimes == 2  # doc_id and doc_id-1 always differ mod 3
+
+
+def test_rfm_tiles_balanced_and_bounded(spark):
+    from sfdc_cdc_aws_spark.operators.events import RFM_TILES, rfm_segmentation
+
+    rows = rfm_segmentation(spark, SF_ORACLE).collect()
+    n_purchasers = (
+        load_table(spark, SF_ORACLE, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_purchasers
+    for dim in ("r_tile", "f_tile", "m_tile"):
+        sizes: dict[int, int] = {}
+        for r in rows:
+            t = getattr(r, dim)
+            assert 1 <= t <= RFM_TILES
+            sizes[t] = sizes.get(t, 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, dim
+    assert all(r.segment == f"{r.r_tile}{r.f_tile}{r.m_tile}" for r in rows)
