@@ -214,3 +214,82 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         (F.col("revenue") / prev - 1.0).alias("yoy_growth"),
     )
+
+
+JOINEST_TOP_K = 10
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle=f"""
+WITH e AS (SELECT user_id, count(*) AS n_e FROM events GROUP BY 1),
+o AS (SELECT o_custkey, count(*) AS n_o FROM orders GROUP BY 1),
+contrib AS (
+  SELECT e.user_id AS join_key, CAST(n_e * n_o AS BIGINT) AS out_rows
+  FROM e JOIN o ON e.user_id = o.o_custkey
+),
+tot AS (
+  SELECT CAST(sum(out_rows) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM contrib
+),
+top AS (
+  SELECT join_key, out_rows,
+         row_number() OVER (ORDER BY out_rows DESC, join_key) AS rk
+  FROM contrib
+)
+SELECT t.join_key, t.out_rows, x.total_rows, x.n_keys,
+       round(t.out_rows * 1.0 / x.total_rows, 6) AS share
+FROM top t CROSS JOIN tot x
+WHERE t.rk <= {JOINEST_TOP_K}
+""",
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size prediction WITHOUT running the join: the output
+    cardinality of events ⋈ orders on the user key is
+    Σ_k count_events(k) · count_orders(k), computed from the two
+    per-key count relations — the estimate a cost-based planner (or
+    an engineer sizing a shuffle) needs before committing to a join
+    strategy, with the top-{JOINEST_TOP_K} contributing keys and
+    their output share attached. A key carrying >10% of the output
+    is the broadcast/salt signal skew_key_report raises
+    (relational2.py) — this op quantifies the blast radius before
+    any data moves.
+
+    Plan: each side collapses to its unique-key count relation at a
+    map-side partial (the shuffles carry keys, not rows); the contrib
+    join runs on those two SMALL relations, and the total is a
+    broadcast scalar. Cost is two aggregates over key columns —
+    strictly cheaper than the join being estimated, which is the
+    point."""
+    ev = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n_e")
+    )
+    orders = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count("*").alias("n_o")
+    )
+    contrib = ev.join(orders, F.col("user_id") == F.col("o_custkey")).select(
+        F.col("user_id").alias("join_key"),
+        (F.col("n_e") * F.col("n_o")).cast("bigint").alias("out_rows"),
+    )
+    tot = contrib.agg(
+        F.sum("out_rows").cast("bigint").alias("total_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.orderBy(F.col("out_rows").desc(), F.col("join_key"))
+    )
+    return (
+        contrib.withColumn("rk", rk)
+        .where(F.col("rk") <= JOINEST_TOP_K)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "join_key",
+            "out_rows",
+            "total_rows",
+            "n_keys",
+            F.round(F.col("out_rows") / F.col("total_rows"), 6).alias("share"),
+        )
+    )

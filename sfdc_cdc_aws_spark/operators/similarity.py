@@ -591,3 +591,116 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(v).cast("double") / F.count("*"), 6).alias("coord"),
         F.count("*").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization — the codebook compression behind IVF-PQ
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                      # subvectors per embedding
+PQ_D = EMB_DIM // PQ_M        # dims per subvector
+PQ_K = 16                     # centroids per subvector codebook
+
+
+def _pq_centroid(m: int, k: int) -> list[float]:
+    """Deterministic codebook centroid: md5-seeded 3-decimal values in
+    [-1, 1] (same discipline as _rhp_plane — a production index trains
+    the codebook with k-means once and broadcasts it; determinism here
+    is a reproducible seed so the oracle replays bit-for-bit)."""
+    import hashlib
+
+    w = []
+    for j in range(PQ_D):
+        h = int(hashlib.md5(f"pq:{m}:{k}:{j}".encode()).hexdigest()[:15], 16) % 2001
+        w.append((h - 1000) / 1000.0)
+    return w
+
+
+def _duck_pq_dist(m: int, k: int) -> str:
+    """Left-associated sum of squared diffs for subvector m vs
+    centroid (m, k) — term order matches the Spark build exactly so
+    both engines run the same IEEE addition sequence."""
+    c = _pq_centroid(m, k)
+    terms = [
+        f"(CAST(embedding[{m * PQ_D + j + 1}] AS DOUBLE) - ({c[j]:.3f})) * "
+        f"(CAST(embedding[{m * PQ_D + j + 1}] AS DOUBLE) - ({c[j]:.3f}))"
+        for j in range(PQ_D)
+    ]
+    return "round(" + " + ".join(terms) + ", 6)"
+
+
+def _duck_pq_min(m: int) -> str:
+    """Argmin over the 16 centroids as list_sort(structs)[1] — d asc,
+    then k asc, i.e. ties break to the lower code on both engines."""
+    entries = ", ".join(
+        f"{{'d': {_duck_pq_dist(m, k)}, 'k': {k}}}" for k in range(PQ_K)
+    )
+    return f"list_sort([{entries}])[1]"
+
+
+@query(
+    "pq_assign",
+    oracle=f"""
+WITH m AS (
+  SELECT vec_id,
+         {", ".join(f"{_duck_pq_min(mm)} AS m{mm}" for mm in range(PQ_M))}
+  FROM embeddings
+)
+SELECT vec_id,
+       {", ".join(f"m{mm}.k AS code{mm}" for mm in range(PQ_M))},
+       round({" + ".join(f"m{mm}.d" for mm in range(PQ_M))}, 6) AS recon_err
+FROM m
+""",
+)
+def pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment — the compression stage of
+    IVF-PQ serving: each 64-dim embedding becomes {PQ_M} 4-bit codes
+    (nearest of {PQ_K} codebook centroids per {PQ_D}-dim subvector),
+    a 16:1 storage reduction with the summed per-subvector residual
+    as the reconstruction-error audit column. Complements the
+    engine's other vector compressions (vector_quantize_int8 is
+    scalar/per-dim; this is vector/per-subspace) and the IVF index
+    (ann_ivf_topk coarse-quantizes; PQ is the fine code an IVF-PQ
+    index stores per posting).
+
+    Plan: narrow per-row compute — every distance, argmin, and code
+    is a codegen'd expression ({PQ_M}·{PQ_K} explicit squared-diff
+    sums; argmin via array_min over (dist, code) structs, ties to the
+    lower code on both engines). Distances are left-associated
+    identically in the Spark build and the generated SQL, so both
+    engines execute the same IEEE addition sequence and the rounded
+    values hash-match exactly. The only exchange is the deliberate
+    ``widen`` repartition spreading the single-file local scan across
+    cores (a no-op on a real multi-file table)."""
+    e = load_table(spark, sf_dir, "embeddings", widen=True)
+    emb = F.col("embedding")
+
+    def dist(m: int, k: int):
+        c = _pq_centroid(m, k)
+        t = None
+        for j in range(PQ_D):
+            x = F.element_at(emb, m * PQ_D + j + 1).cast("double") - F.lit(c[j])
+            term = x * x
+            t = term if t is None else t + term
+        return F.round(t, 6)
+
+    mins = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(dist(m, k).alias("d"), F.lit(k).alias("k"))
+                    for k in range(PQ_K)
+                ]
+            )
+        )
+        for m in range(PQ_M)
+    ]
+    recon = None
+    for m in range(PQ_M):
+        d = mins[m]["d"]
+        recon = d if recon is None else recon + d
+    return e.select(
+        "vec_id",
+        *[mins[m]["k"].alias(f"code{m}") for m in range(PQ_M)],
+        F.round(recon, 6).alias("recon_err"),
+    )

@@ -165,3 +165,31 @@ def test_rfm_tiles_balanced_and_bounded(spark):
             sizes[t] = sizes.get(t, 0) + 1
         assert max(sizes.values()) - min(sizes.values()) <= 1, dim
     assert all(r.segment == f"{r.r_tile}{r.f_tile}{r.m_tile}" for r in rows)
+
+
+def test_pq_assign_codes_and_error_bounds(spark):
+    from sfdc_cdc_aws_spark.operators.similarity import PQ_K, PQ_M, pq_assign
+
+    rows = pq_assign(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        codes = [getattr(r, f"code{m}") for m in range(PQ_M)]
+        assert all(0 <= c < PQ_K for c in codes)
+        assert r.recon_err >= 0.0
+
+
+def test_join_estimate_matches_actual_join_size(spark):
+    """The predicted cardinality must equal the real join's row count
+    — the estimate is exact for equi-joins by construction."""
+    from sfdc_cdc_aws_spark.operators.relational3 import (
+        join_cardinality_estimate,
+    )
+
+    est = join_cardinality_estimate(spark, SF_SMOKE).collect()
+    assert est
+    predicted = est[0].total_rows
+    ev = load_table(spark, SF_SMOKE, "events")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    actual = ev.join(orders, F.col("user_id") == F.col("o_custkey")).count()
+    assert predicted == actual
+    assert sum(r.share for r in est) <= 1.0 + 1e-6

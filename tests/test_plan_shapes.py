@@ -486,3 +486,57 @@ def test_bpe_merge_step_vocab_sized_window(spark):
     df = _df(spark, "bpe_merge_step")
     assert has_partial_aggregate(df)
     assert "Window" in plan_string(df)
+
+
+def test_snapshot_diff_single_shuffle_both_epochs(spark):
+    """Both snapshot epochs come out of ONE aggregation: map-side
+    partials and exactly one exchange on the key — the changelog is
+    scanned once, never joined against itself."""
+    df = _df(spark, "snapshot_diff")
+    assert has_partial_aggregate(df)
+    assert exchange_count(df) == 1
+    assert not join_kinds(df)
+
+
+def test_tombstone_purge_single_shuffle(spark):
+    df = _df(spark, "tombstone_purge_plan")
+    assert has_partial_aggregate(df)
+    assert exchange_count(df) == 1
+    assert not join_kinds(df)
+
+
+def test_file_skipping_plan_is_metadata_scale(spark):
+    """The scan collapses to one row per partition at a map-side
+    partial; one exchange moves the manifest, nothing else."""
+    df = _df(spark, "file_skipping_plan")
+    assert has_partial_aggregate(df)
+    assert exchange_count(df) == 1
+
+
+def test_oov_vocab_probe_is_broadcast(spark):
+    """The vocab side of the coverage probe must broadcast — the
+    token explode is never shuffled for the join."""
+    kinds = join_kinds(_df(spark, "oov_rate"))
+    assert kinds and all("Broadcast" in k for k in kinds)
+
+
+def test_char_entropy_no_shuffle(spark):
+    """Per-document entropy is fully narrow: zero exchanges."""
+    assert exchange_count(_df(spark, "char_entropy")) == 0
+
+
+def test_pq_assign_narrow_compute(spark):
+    """PQ code assignment is narrow per-row compute: no join, no
+    aggregate; the only exchange allowed is the deliberate widen
+    repartition that spreads the single-file scan across cores."""
+    df = _df(spark, "pq_assign")
+    assert not join_kinds(df)
+    assert not has_partial_aggregate(df)
+    assert exchange_count(df) <= 1
+
+
+def test_join_estimate_cheaper_than_the_join(spark):
+    """The estimate's inputs are per-key count relations — both sides
+    aggregate with map-side partials before the contrib join."""
+    df = _df(spark, "join_cardinality_estimate")
+    assert has_partial_aggregate(df)
