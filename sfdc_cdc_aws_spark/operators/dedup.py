@@ -830,3 +830,58 @@ def lsh_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.d").alias("survivor_doc"),
         F.col("s.c").alias("survivor_chars"),
     )
+
+
+@query(
+    "triangle_count",
+    oracle=f"""
+WITH {_DUCK_LSH_PAIRS_CTE},
+edges AS (SELECT doc_a, doc_b FROM lsh_pairs),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.doc_a = e1.doc_b
+  JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT doc_id, count(*) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+GROUP BY doc_id
+""",
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the near-duplicate candidate graph — the local
+    clustering signal that separates TRUE duplicate clusters (near-
+    dup sets collide pairwise → triangle-dense) from chance LSH
+    collisions (isolated edges, no triangles). Completes the graph
+    family over the same edge relation: dedup_clusters finds the
+    components, pagerank_step ranks within them, and triangle counts
+    grade each doc's neighborhood cohesion — the standard triage
+    before trusting a cluster enough to drop its members.
+
+    Plan: the classic two-join triangle enumeration on the
+    ordered edge list (doc_a < doc_b by construction, so each
+    triangle is counted exactly once as a<b<c): edges ⋈ edges on
+    b=a' finds wedges, the third join closes them. Both joins are
+    equi-joins on doc ids — shuffles carry the EDGE relation (Σ
+    bucket² bounded by the LSH cap), never documents; at 100 TB this
+    is the textbook distributed triangle count (order edges by
+    degree to bound wedge fan-out further; unnecessary under the
+    bucket cap)."""
+    e = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "doc_id"
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -193,3 +193,31 @@ def test_join_estimate_matches_actual_join_size(spark):
     actual = ev.join(orders, F.col("user_id") == F.col("o_custkey")).count()
     assert predicted == actual
     assert sum(r.share for r in est) <= 1.0 + 1e-6
+
+
+def test_triangle_count_matches_direct_enumeration(spark):
+    """Per-doc triangle counts must equal a direct Python enumeration
+    over the same candidate-pair edge list."""
+    import collections
+    import itertools
+
+    from sfdc_cdc_aws_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        triangle_count,
+    )
+
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_dedup(spark, SF_SMOKE).collect()
+    }
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    want: dict[int, int] = collections.defaultdict(int)
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            for d in (a, b, c):
+                want[d] += 1
+    got = {r.doc_id: r.n_triangles for r in triangle_count(spark, SF_SMOKE).collect()}
+    assert got == dict(want)
+    assert sum(got.values()) % 3 == 0
