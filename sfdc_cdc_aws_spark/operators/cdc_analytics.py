@@ -333,12 +333,15 @@ FROM (
 ) WHERE diff_type IS NOT NULL
 """,
 )
-def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def snapshot_diff(
+    spark: SparkSession, sf_dir: str, cut_ms: int = DIFF_CUT_MS
+) -> DataFrame:
     """Diff of two snapshot epochs of the CDC lake — the change set a
     consumer that refreshes from snapshots (instead of tailing the
     stream) must apply. Epoch A is the latest state per key as of
-    {DIFF_CUT_MS}; epoch B is the latest state over the full feed;
-    the diff classifies every key whose live state differs:
+    ``cut_ms`` (registered oracle uses {DIFF_CUT_MS}); epoch B is the
+    latest state over the full feed; the diff classifies every key
+    whose live state differs:
 
     * ``INSERT`` — live in B, absent-or-dead in A (covers UNDELETE
       after a DELETE, per SURVEY §7 liveness = ``<> 'DELETE'``);
@@ -364,7 +367,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = F.struct("commit_ts_ms", "replay_id", "change_type")
     agg = ch.groupBy("entity_name", "uid").agg(
         F.max(ordered).alias("b"),
-        F.max(F.when(F.col("commit_ts_ms") < DIFF_CUT_MS, ordered)).alias("a"),
+        F.max(F.when(F.col("commit_ts_ms") < cut_ms, ordered)).alias("a"),
     )
     live_a = F.coalesce(F.col("a.change_type") != "DELETE", F.lit(False))
     live_b = F.col("b.change_type") != "DELETE"

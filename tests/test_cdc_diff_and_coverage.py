@@ -31,12 +31,24 @@ def _live_keys(spark, sf_dir, cut_ms=None):
     return {(r.entity_name, r.uid) for r in rows}
 
 
-def test_snapshot_diff_applies_a_to_b(spark):
-    """THE diff contract: live(B) = (live(A) - DELETEs) | INSERTs,
-    and UPDATE keys are live on both sides."""
-    a = _live_keys(spark, SF_ORACLE, DIFF_CUT_MS)
+import pytest
+
+
+@pytest.mark.parametrize(
+    "cut_ms",
+    [
+        1_704_672_000_000,  # 2024-01-08
+        DIFF_CUT_MS,        # 2024-01-16 (the registered oracle's cut)
+        1_706_054_400_000,  # 2024-01-24
+    ],
+)
+def test_snapshot_diff_applies_a_to_b(spark, cut_ms):
+    """THE diff contract at any epoch boundary: live(B) =
+    (live(A) - DELETEs) | INSERTs, and UPDATE keys are live on both
+    sides."""
+    a = _live_keys(spark, SF_ORACLE, cut_ms)
     b = _live_keys(spark, SF_ORACLE)
-    diff = snapshot_diff(spark, SF_ORACLE).collect()
+    diff = snapshot_diff(spark, SF_ORACLE, cut_ms).collect()
     key = lambda r: (r.entity_name, int(r.record_id[3:]))  # noqa: E731
     ins = {key(r) for r in diff if r.diff_type == "INSERT"}
     upd = {key(r) for r in diff if r.diff_type == "UPDATE"}
