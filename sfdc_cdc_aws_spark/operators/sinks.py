@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
 from sfdc_cdc_aws_spark.sources.cdc_feed import CHANGES_CTE, changes
 
 
@@ -156,3 +157,71 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_spend"),
         )
     )
+
+
+BLOOM_PRICE_MIN = 450_000.0
+
+
+@query(
+    "bloom_filter_join",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > {BLOOM_PRICE_MIN}
+GROUP BY l_returnflag
+""",
+)
+def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — Spark's InjectRuntimeFilter
+    builds a bloom filter over the SELECTIVE side's join keys
+    (orders above {BLOOM_PRICE_MIN}) and pushes a
+    ``might_contain`` probe beneath the big side's shuffle, so
+    lineitem rows of non-qualifying orders are dropped at the SCAN
+    instead of surviving to the join exchange. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~2% that can match; the filter is exact-negative, so results
+    are identical.
+
+    The injection thresholds default to cluster scale
+    (application-side scan ≥ 10 GB), which a toy local fixture never
+    reaches — the conf window below scopes them down so the SAME
+    optimizer rule fires here as would at scale, and the optimized
+    plan (forced, then cached on the returned DataFrame) is pinned
+    while the window is open; session confs are restored before
+    returning. tests/test_plan_shapes.py asserts bloom_filter_agg +
+    might_contain are actually in the plan — the feature, not the
+    configuration, is what is under test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > BLOOM_PRICE_MIN
+    )
+    scoped = {
+        # force the shuffle-join shape bloom exists to protect
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in scoped}
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        df = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        # pin the optimizer's output (incl. the injected bloom
+        # subquery) while the conf window is open; QueryExecution
+        # caches this, so later execution reuses it
+        df._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return df

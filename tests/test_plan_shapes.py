@@ -540,3 +540,13 @@ def test_join_estimate_cheaper_than_the_join(spark):
     aggregate with map-side partials before the contrib join."""
     df = _df(spark, "join_cardinality_estimate")
     assert has_partial_aggregate(df)
+
+
+def test_bloom_filter_join_injects_runtime_filter(spark):
+    """The optimized plan must carry the injected runtime bloom
+    filter: a bloom_filter_agg subquery on the selective side and a
+    might_contain probe under the fact scan."""
+    df = _df(spark, "bloom_filter_join")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
