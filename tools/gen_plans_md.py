@@ -129,6 +129,12 @@ SHOWCASE = {
         "collapses the scan to a row per partition; every predicate "
         "verdict evaluates over the |partitions|-row manifest."
     ),
+    "bloom_filter_join": (
+        "InjectRuntimeFilter at work: `bloom_filter_agg` builds the "
+        "filter over the selective side's keys and `might_contain` "
+        "probes beneath the fact scan — rows of non-qualifying orders "
+        "die before the join exchange."
+    ),
 }
 
 
