@@ -373,3 +373,93 @@ def mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(MIX_CAP), raw).alias("weight"),
         (raw > MIX_CAP).alias("capped"),
     )
+
+
+@query(
+    "quality_rule_ablation",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(tk) AS n_words,
+         CAST(length(list_aggregate(tk, 'string_agg', '')) AS DOUBLE)
+           / len(tk) AS mean_word_len,
+         len(list_distinct(list_filter(tk, x -> x IN {_STOPWORDS})))
+           AS n_stop_distinct
+  FROM t WHERE len(tk) > 0
+),
+f AS (
+  SELECT (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+           AS r_wc,
+         (mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+           AS r_mwl,
+         (n_stop_distinct >= {GOPHER_MIN_STOPWORDS}) AS r_sw
+  FROM m
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sw THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pass_all,
+         CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS f_wc,
+         CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS f_mwl,
+         CAST(sum(CASE WHEN NOT r_sw THEN 1 ELSE 0 END) AS BIGINT) AS f_sw,
+         CAST(sum(CASE WHEN NOT r_wc AND r_mwl AND r_sw THEN 1 ELSE 0 END)
+              AS BIGINT) AS o_wc,
+         CAST(sum(CASE WHEN r_wc AND NOT r_mwl AND r_sw THEN 1 ELSE 0 END)
+              AS BIGINT) AS o_mwl,
+         CAST(sum(CASE WHEN r_wc AND r_mwl AND NOT r_sw THEN 1 ELSE 0 END)
+              AS BIGINT) AS o_sw
+  FROM f
+)
+SELECT 'word_count' AS rule, f_wc AS n_fail, o_wc AS n_fail_only,
+       n_pass_all, n_docs FROM agg
+UNION ALL
+SELECT 'mean_word_len', f_mwl, o_mwl, n_pass_all, n_docs FROM agg
+UNION ALL
+SELECT 'stopwords', f_sw, o_sw, n_pass_all, n_docs FROM agg
+""",
+)
+def quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ablation of the Gopher quality gate: for each rule,
+    how many documents fail it at all (``n_fail``) and how many fail
+    ONLY it (``n_fail_only`` — the docs that one rule alone removes
+    from the corpus). ``n_fail_only`` is the rule's marginal cost,
+    the number a curation review weighs against sample inspections
+    before tightening or dropping a threshold; a rule whose
+    ``n_fail`` is high but ``n_fail_only`` is ~0 is redundant with
+    the rest of the gate. Built ON the registered gate itself
+    (gopher_quality_rules' flags feed the aggregate), so the
+    ablation can never drift from the gate it audits.
+
+    Plan: the per-doc flag projection is the same zero-shuffle
+    map-only pass as the gate; one map-side-partial aggregate
+    collapses it to a single row of counters, and the 3-row unpivot
+    runs on that scalar relation."""
+    flags = gopher_quality_rules(spark, sf_dir).select(
+        F.col("rule_word_count").alias("r_wc"),
+        F.col("rule_mean_word_len").alias("r_mwl"),
+        F.col("rule_stopwords").alias("r_sw"),
+    )
+    c = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    agg = flags.agg(
+        F.count("*").alias("n_docs"),
+        c(F.col("r_wc") & F.col("r_mwl") & F.col("r_sw")).alias("n_pass_all"),
+        c(~F.col("r_wc")).alias("f_wc"),
+        c(~F.col("r_mwl")).alias("f_mwl"),
+        c(~F.col("r_sw")).alias("f_sw"),
+        c(~F.col("r_wc") & F.col("r_mwl") & F.col("r_sw")).alias("o_wc"),
+        c(F.col("r_wc") & ~F.col("r_mwl") & F.col("r_sw")).alias("o_mwl"),
+        c(F.col("r_wc") & F.col("r_mwl") & ~F.col("r_sw")).alias("o_sw"),
+    )
+    return agg.selectExpr(
+        """stack(3,
+             'word_count', f_wc, o_wc,
+             'mean_word_len', f_mwl, o_mwl,
+             'stopwords', f_sw, o_sw
+           ) AS (rule, n_fail, n_fail_only)""",
+        "n_pass_all",
+        "n_docs",
+    )

@@ -711,3 +711,156 @@ def pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"code{m} int" for m in range(PQ_M)
     ) + ", recon_err double"
     return e.select("vec_id", "embedding").mapInPandas(assign, schema)
+
+
+CONTRA_POS = 2  # positives mined per anchor (same label, most similar)
+CONTRA_NEG = 3  # hard negatives per anchor (different label, most similar)
+
+
+@query(
+    "contrastive_pair_mining",
+    oracle=f"""
+WITH q AS (SELECT vec_id, label, embedding FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS role,
+         {DUCK_COSINE.format(a='q.embedding', b='c.embedding')} AS cos_sim
+  FROM q, embeddings c
+  WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, role, cos_sim,
+         row_number() OVER (PARTITION BY query_id, role
+                            ORDER BY cos_sim DESC, cand_id) AS rnk
+  FROM scored
+)
+SELECT query_id, cand_id, role, rnk, cos_sim
+FROM ranked
+WHERE (role = 'pos' AND rnk <= {CONTRA_POS})
+   OR (role = 'neg' AND rnk <= {CONTRA_NEG})
+""",
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-pair mining for contrastive/embedding training: per
+    anchor, the {CONTRA_POS} most-similar SAME-label vectors
+    (positives) and the {CONTRA_NEG} most-similar DIFFERENT-label
+    vectors (hard negatives — the near-boundary cases that make a
+    metric-learning batch informative; random negatives are too easy
+    to teach anything). This is the batch-construction step of
+    training the very embedding models the similarity family serves.
+
+    Plan: same shape as topk_cosine_sim — the bounded anchor set
+    broadcasts, the corpus scans ONCE with the cosine fused into
+    codegen, and the per-(anchor, role) top-k window runs over
+    |Q|·n scored rows partitioned to at most 2·|Q| groups. At
+    production |Q| the mining runs per IVF cell (ann_ivf_topk's
+    index) so the scan stays blocked, not all-pairs."""
+    e = load_table(spark, sf_dir, "embeddings", widen=True)
+    en = e.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = F.broadcast(
+        en.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    cos = cosine_prenorm(
+        F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+    )
+    scored = (
+        en.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.when(F.col("label") == F.col("q_label"), "pos")
+            .otherwise("neg")
+            .alias("role"),
+            cos.alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id", "role").orderBy(
+            F.col("cos_sim").desc(), "cand_id"
+        )
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(
+            ((F.col("role") == "pos") & (F.col("rnk") <= CONTRA_POS))
+            | ((F.col("role") == "neg") & (F.col("rnk") <= CONTRA_NEG))
+        )
+        .select("query_id", "cand_id", "role", "rnk", "cos_sim")
+    )
+
+
+PRUNE_COS = 0.25  # drop members this close to their cell pivot
+                  # (driver embeddings are random; ≈99th pct of cosine)
+
+
+@query(
+    "semantic_prune",
+    oracle=f"""
+WITH {_DUCK_ASSIGN_CTE},
+pivots AS (
+  SELECT cent_id, vec_id AS pivot_id, embedding AS p_emb FROM (
+    SELECT cent_id, vec_id, embedding,
+           row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) AS rn
+    FROM assign
+  ) WHERE rn = 1
+)
+SELECT a.cent_id, a.vec_id, p.pivot_id,
+       {DUCK_COSINE.format(a='a.embedding', b='p.p_emb')} AS cos_sim
+FROM assign a JOIN pivots p ON a.cent_id = p.cent_id
+WHERE a.vec_id <> p.pivot_id
+  AND {DUCK_COSINE.format(a='a.embedding', b='p.p_emb')} >= {PRUNE_COS}
+""",
+)
+def semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: within each IVF cell, the
+    lowest-id member is the cell's pivot, and every other member
+    whose cosine to the pivot exceeds {PRUNE_COS} is emitted as a
+    prune candidate — semantically-redundant training data that adds
+    compute without adding signal. One pivot per cell is the
+    single-pass variant of the greedy keep-set (good enough in
+    practice because the IVF cell already bounds the neighborhood);
+    the full greedy chain is an iterated run of this op over the
+    survivors, same loop discipline as dedup_clusters.
+
+    Plan: the materialized IVF index (ensure_ivf_index) supplies the
+    cells; pivot election is a min-over-cell aggregate (map-side
+    partial, shuffle carries one row per cell), and the prune scoring
+    is a broadcast join of the C-row pivot relation back to the
+    index — the corpus scans once, compares against ONE vector per
+    cell, and nothing all-pairs ever forms: Σ cell instead of
+    Σ cell²."""
+    a = ensure_ivf_index(spark, sf_dir)
+    pivots = F.broadcast(
+        a.groupBy("cent_id")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("vec_id").alias("pivot_id"),
+                    F.col("embedding").alias("p_emb"),
+                    F.col("nrm").alias("p_nrm"),
+                ),
+                F.col("vec_id"),
+            ).alias("p")
+        )
+        .select("cent_id", "p.pivot_id", "p.p_emb", "p.p_nrm")
+    )
+    cos = cosine_prenorm(
+        F.col("embedding"), F.col("p_emb"), F.col("nrm"), F.col("p_nrm")
+    )
+    return (
+        a.join(pivots, "cent_id")
+        .where(F.col("vec_id") != F.col("pivot_id"))
+        .select("cent_id", "vec_id", "pivot_id", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= PRUNE_COS)
+    )

@@ -233,3 +233,66 @@ def test_triangle_count_matches_direct_enumeration(spark):
     got = {r.doc_id: r.n_triangles for r in triangle_count(spark, SF_SMOKE).collect()}
     assert got == dict(want)
     assert sum(got.values()) % 3 == 0
+
+
+def test_quality_ablation_counts_consistent(spark):
+    from sfdc_cdc_aws_spark.operators.curation import quality_rule_ablation
+
+    rows = quality_rule_ablation(spark, SF_SMOKE).collect()
+    assert {r.rule for r in rows} == {
+        "word_count", "mean_word_len", "stopwords",
+    }
+    n_docs = rows[0].n_docs
+    n_fail_any = n_docs - rows[0].n_pass_all
+    assert sum(r.n_fail_only for r in rows) <= n_fail_any
+    for r in rows:
+        assert 0 <= r.n_fail_only <= r.n_fail <= n_fail_any
+
+
+def test_contrastive_pairs_label_contract(spark):
+    from sfdc_cdc_aws_spark.operators.similarity import (
+        CONTRA_NEG,
+        CONTRA_POS,
+        contrastive_pair_mining,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = contrastive_pair_mining(spark, SF_SMOKE).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        assert r.cand_id != r.query_id
+        same = labels[r.cand_id] == labels[r.query_id]
+        assert (r.role == "pos") == same
+        per.setdefault((r.query_id, r.role), []).append(r.rnk)
+    for (q, role), rnks in per.items():
+        cap = CONTRA_POS if role == "pos" else CONTRA_NEG
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= cap
+
+
+def test_semantic_prune_never_prunes_pivots(spark):
+    from sfdc_cdc_aws_spark.operators.similarity import (
+        PRUNE_COS,
+        ensure_ivf_index,
+        semantic_prune,
+    )
+
+    pruned = semantic_prune(spark, SF_SMOKE).collect()
+    assert pruned
+    idx = ensure_ivf_index(spark, SF_SMOKE).select("cent_id", "vec_id").collect()
+    pivot_of = {}
+    members = {}
+    for r in idx:
+        members.setdefault(r.cent_id, set()).add(r.vec_id)
+        pivot_of[r.cent_id] = min(pivot_of.get(r.cent_id, r.vec_id), r.vec_id)
+    for r in pruned:
+        assert r.cos_sim >= PRUNE_COS
+        assert r.pivot_id == pivot_of[r.cent_id]
+        assert r.vec_id != r.pivot_id
+        assert r.vec_id in members[r.cent_id]
