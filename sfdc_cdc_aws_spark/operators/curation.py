@@ -463,3 +463,47 @@ def quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pass_all",
         "n_docs",
     )
+
+
+@query(
+    "dataset_card_stats",
+    oracle=f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(avg(n_chars), 6) AS mean_chars,
+       round(1.0 - count(DISTINCT md5(lower(trim(text)))) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM documents
+GROUP BY source
+""",
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card, computed not written: per source, the
+    headline numbers a corpus release documents — document and token
+    counts, language spread, mean document length, and the
+    exact-duplicate rate (1 − distinct normalized hashes / docs).
+    Every number is derived from the corpus by the engine itself, so
+    the card is reproducible and can gate a release (e.g. fail the
+    publish if dup_rate regresses) instead of being hand-maintained
+    prose.
+
+    Plan: ONE aggregation over the documents scan — token counts are
+    computed narrow per row, and the two count-distincts (lang, text
+    hash) expand inside the same grouped aggregate; the shuffle
+    carries per-source partials. At 100 TB this is the same plan per
+    (source, snapshot-date) partition."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col())).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(
+            1.0
+            - F.countDistinct(F.md5(F.lower(F.trim(F.col("text")))))
+            / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )
