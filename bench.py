@@ -18,6 +18,88 @@ import time
 from sfdc_cdc_aws_spark.registry import load_all
 from sfdc_cdc_aws_spark.session import get_session
 
+# The engine's headline queries, reported first on the stdout line.
+HEADLINE_ORDER = [
+    "cdc_latest_snapshot",
+    "cdc_stream_pipeline",
+    "cdc_incremental_merge",
+    "cdc_stream_stateful_counts",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supply",
+    "tpch_q9_product_profit",
+    "tpch_q18_big_orders",
+    "tpch_q21_sole_fault_supplier",
+    "exact_dedup_docs",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
+    "simhash_dedup",
+    "sentence_dedup",
+    "dedup_clusters",
+    "embedding_neardup",
+    "rhp_lsh_neardup",
+    "topk_cosine_sim",
+    "topk_cosine_numpy",
+    "ann_ivf_topk",
+    "contamination_check",
+    "stream_minhash_ingest",
+    "skew_salted_join",
+    "bucketed_colocated_join",
+    "token_count_bpe",
+    "lang_id",
+    "quality_score",
+    "gopher_quality_rules",
+    "bm25_score",
+    "tfidf_top_terms",
+    "pack_sequences",
+    "dup_span_coverage",
+    "winnow_fingerprints",
+    "agg_suite",
+    "window_rank_suite",
+    "join_suite",
+    "asof_event_order",
+]
+
+# The driver keeps only the last ~2000 bytes of stdout, so the
+# one-line JSON must fit that budget or it records parsed:null
+# (rounds 1-3 all overflowed with the full 140+-query map). The
+# stdout line therefore carries a char-budgeted headline subset; the
+# COMPLETE per-query map goes to BENCH_FULL.json beside this script,
+# and every timing is also on stderr. tests/test_bench_contract.py
+# pins the budget.
+STDOUT_QUERY_BUDGET = 1500  # chars for the "queries" object
+
+
+def build_stdout_line(
+    timings: dict[str, float], sf: float, total: float, master: str
+) -> str:
+    """The single driver-parseable stdout line: headline queries
+    first, then alphabetical fill, truncated to the char budget."""
+    headline: dict[str, float] = {}
+    used = 2
+    for name in HEADLINE_ORDER + sorted(set(timings) - set(HEADLINE_ORDER)):
+        if name not in timings:
+            continue
+        entry_len = len(json.dumps({name: timings[name]}, separators=(",", ":"))) - 1
+        if used + entry_len > STDOUT_QUERY_BUDGET:
+            break
+        headline[name] = timings[name]
+        used += entry_len
+    return json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": headline,
+            "sf": sf,
+            "n_queries": len(timings),
+            "n_reported": len(headline),
+            "full": "BENCH_FULL.json",
+            "master": master,
+        },
+        separators=(",", ":"),
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,12 +138,6 @@ def main() -> None:
         print(f"  {name}: {best:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # The driver keeps only the last ~2000 bytes of stdout, so the
-    # one-line JSON must fit that budget or it records parsed:null
-    # (rounds 1-3 all overflowed with the full 140+-query map). The
-    # stdout line therefore carries a char-budgeted headline subset;
-    # the COMPLETE per-query map goes to BENCH_FULL.json beside this
-    # script, and every timing is also on stderr above.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
         json.dump(
@@ -79,73 +155,7 @@ def main() -> None:
         )
         f.write("\n")
 
-    headline_order = [
-        "cdc_latest_snapshot",
-        "cdc_stream_pipeline",
-        "cdc_incremental_merge",
-        "cdc_stream_stateful_counts",
-        "tpch_q1_pricing_summary",
-        "tpch_q3_shipping",
-        "tpch_q5_local_supply",
-        "tpch_q9_product_profit",
-        "tpch_q18_big_orders",
-        "tpch_q21_sole_fault_supplier",
-        "exact_dedup_docs",
-        "minhash_lsh_dedup",
-        "ngram_jaccard_dedup",
-        "simhash_dedup",
-        "sentence_dedup",
-        "dedup_clusters",
-        "embedding_neardup",
-        "rhp_lsh_neardup",
-        "topk_cosine_sim",
-        "topk_cosine_numpy",
-        "ann_ivf_topk",
-        "contamination_check",
-        "stream_minhash_ingest",
-        "skew_salted_join",
-        "bucketed_colocated_join",
-        "token_count_bpe",
-        "lang_id",
-        "quality_score",
-        "gopher_quality_rules",
-        "bm25_score",
-        "tfidf_top_terms",
-        "pack_sequences",
-        "dup_span_coverage",
-        "winnow_fingerprints",
-        "agg_suite",
-        "window_rank_suite",
-        "join_suite",
-        "asof_event_order",
-    ]
-    headline: dict[str, float] = {}
-    budget = 1500  # chars for the "queries" object; total line stays < ~1800
-    used = 2
-    for name in headline_order + sorted(set(timings) - set(headline_order)):
-        if name not in timings:
-            continue
-        entry_len = len(json.dumps({name: timings[name]}, separators=(",", ":"))) - 1
-        if used + entry_len > budget:
-            break
-        headline[name] = timings[name]
-        used += entry_len
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": headline,
-                "sf": sf,
-                "n_queries": len(timings),
-                "n_reported": len(headline),
-                "full": "BENCH_FULL.json",
-                "master": spark.sparkContext.master,
-            },
-            separators=(",", ":"),
-        )
-    )
+    print(build_stdout_line(timings, sf, total, spark.sparkContext.master))
 
 
 if __name__ == "__main__":
