@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
 from sfdc_cdc_aws_spark.sources.cdc_feed import (
     CHANGES_CTE,
     ID_FMT,
@@ -553,5 +554,93 @@ def late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("high_water") - F.col("commit_ts_ms")).alias(
                 "max_lateness_ms"
             ),
+        )
+    )
+
+
+# Significance threshold for numeric field changes: deltas smaller
+# than this are noise a downstream consumer may suppress (sensor
+# jitter, rounding churn). ~1% of the value range at every SF.
+SIGNIFICANT_DELTA = 5.0
+
+
+@query(
+    "change_significance_filter",
+    oracle=f"""
+WITH cwv AS (
+  SELECT event_type AS entity_name, uid, event_id AS replay_id,
+         epoch_ms(ts) AS commit_ts_ms, value
+  FROM (
+    SELECT event_id, ts, user_id AS uid, event_type, value FROM events
+    UNION ALL
+    SELECT event_id, ts, user_id + 1000000 AS uid, event_type, value
+    FROM events WHERE event_id % 5 = 0
+  )
+),
+seq AS (
+  SELECT entity_name, value,
+         lag(value) OVER (PARTITION BY entity_name, uid
+                          ORDER BY commit_ts_ms, replay_id) AS prev_value
+  FROM cwv
+)
+SELECT entity_name,
+       CAST(count(*) AS BIGINT) AS n_with_prev,
+       CAST(sum(CASE WHEN abs(value - prev_value) < {SIGNIFICANT_DELTA}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_insignificant,
+       round(sum(CASE WHEN abs(value - prev_value) < {SIGNIFICANT_DELTA}
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS suppress_rate
+FROM seq WHERE prev_value IS NOT NULL
+GROUP BY entity_name
+""",
+)
+def change_significance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-significance suppression — the CDC noise gate: per key,
+    a change whose numeric delta vs the previous version is below
+    {SIGNIFICANT_DELTA} is flagged insignificant (sensor jitter,
+    rounding churn — the at-least-once world's no-op updates), and
+    the report gives each entity's suppressible fraction. Downstream
+    consumers use exactly this to cut write amplification: the
+    flagship snapshot is unchanged by suppressed rows, so the sink
+    can skip them — the CDC analog of the curation layer's
+    'filter before you pay to move it'.
+
+    Plan: one lag window per key (the changelog shuffles once,
+    partitioned by key — same minimum as scd2_history), then a
+    map-side-combinable aggregate to the per-entity report. The
+    value column rides the same derivation as the change feed
+    (sources/cdc_feed.py), so the oracle replays it exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    cwv = ev.select(
+        F.col("event_id"),
+        F.col("ts"),
+        F.col("event_type").alias("entity_name"),
+        F.col("value"),
+        F.explode(
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.array(F.col("user_id"), F.col("user_id") + F.lit(1_000_000)),
+            ).otherwise(F.array(F.col("user_id")))
+        ).alias("uid"),
+    ).select(
+        "entity_name",
+        "uid",
+        F.col("event_id").alias("replay_id"),
+        F.unix_millis("ts").alias("commit_ts_ms"),
+        "value",
+    )
+    w = Window.partitionBy("entity_name", "uid").orderBy(
+        "commit_ts_ms", "replay_id"
+    )
+    prev = F.lag("value").over(w)
+    insig = (F.abs(F.col("value") - prev) < SIGNIFICANT_DELTA).cast("long")
+    return (
+        cwv.select("entity_name", prev.alias("prev_value"), "value", insig.alias("i"))
+        .where(F.col("prev_value").isNotNull())
+        .groupBy("entity_name")
+        .agg(
+            F.count("*").alias("n_with_prev"),
+            F.sum("i").alias("n_insignificant"),
+            F.round(F.sum("i") / F.count("*"), 6).alias("suppress_rate"),
         )
     )
