@@ -225,3 +225,77 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in saved.items():
             spark.conf.set(k, v)
     return df
+
+
+_FMT_COLS = ["event_id", "user_id", "event_type", "value"]
+
+
+def _ensure_format_copies(
+    spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_format_copies"
+) -> dict[str, str]:
+    """Materialize CSV and ORC copies of the events slice once per
+    source content (same fingerprint discipline as the bucketed
+    tables and landing dir): the fixture ships parquet only, so the
+    non-parquet read paths need engine-written copies to read back."""
+    from sfdc_cdc_aws_spark.sources.tables import table_path
+
+    st = os.stat(table_path(sf_dir, "events"))
+    name = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_v1"
+        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+    )
+    out = {}
+    src = load_table(spark, sf_dir, "events").select(*_FMT_COLS)
+    for fmt in ("csv", "orc"):
+        path = os.path.join(base, fmt, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            w = src.write.mode("overwrite")
+            if fmt == "csv":
+                w = w.option("header", "true")
+            getattr(w, fmt)(path)
+        out[fmt] = path
+    return out
+
+
+@query(
+    "multi_format_source",
+    oracle="""
+SELECT 'csv' AS fmt, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 6) AS sum_value
+FROM events
+UNION ALL
+SELECT 'orc', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT), round(sum(value), 6)
+FROM events
+""",
+)
+def multi_format_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format parity: the same events slice written to CSV and
+    ORC by the engine, read back through each format's reader with an
+    EXPLICIT schema, and aggregated — both rows must equal the
+    parquet-derived oracle, proving the text round-trip loses nothing
+    (Java's double formatting round-trips exactly; the explicit
+    schema keeps CSV inference out of the semantics). This is the
+    capability a migrating user actually asks for — "can it read my
+    CSV/ORC?" — exercised end-to-end, not claimed.
+
+    Plan: per format, a scan → map-side-partial aggregate (the
+    count-distinct expands in the grouped aggregate); the union runs
+    on two single-row relations. CSV is the slow path by nature
+    (text parse per row, no pushdown, no column pruning) — the
+    engine treats it as an ingest format to convert once, never a
+    working layout; ORC/parquet are the working layouts."""
+    paths = _ensure_format_copies(spark, sf_dir)
+    schema = "event_id long, user_id long, event_type string, value double"
+
+    def agg(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "n_users", "sum_value")
+
+    csv = spark.read.schema(schema).option("header", "true").csv(paths["csv"])
+    orc = spark.read.schema(schema).orc(paths["orc"])
+    return agg(csv, "csv").unionByName(agg(orc, "orc"))
