@@ -364,7 +364,14 @@ def snapshot_diff(
     and shuffled only as unique keys. The oracle spells the same
     semantics as two row_number windows + left join, which is the
     slow-but-obvious form."""
-    ch = changes(spark, sf_dir)
+    return diff_changes(changes(spark, sf_dir), cut_ms)
+
+
+def diff_changes(ch: DataFrame, cut_ms: int) -> DataFrame:
+    """Core of :func:`snapshot_diff`, factored over any changes-shaped
+    DataFrame (entity_name, uid, change_type, commit_ts_ms, replay_id)
+    so the property-based tests can drive it with arbitrary generated
+    change sequences."""
     ordered = F.struct("commit_ts_ms", "replay_id", "change_type")
     agg = ch.groupBy("entity_name", "uid").agg(
         F.max(ordered).alias("b"),

@@ -69,3 +69,61 @@ def test_latest_snapshot_equals_sequential_replay(spark, seq):
         )
     }
     assert got == replay_dict(seq)
+
+
+# one change: (key, change_type_idx); ts = commit position, so cuts
+# land between any two changes. UNDELETE included: liveness must
+# treat it as live (SURVEY §7).
+DIFF_CHANGE_TYPES = ("CREATE", "UPDATE", "DELETE", "UNDELETE")
+
+diff_strategy = st.tuples(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=7), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=41),
+)
+
+
+def _live(seq, upto):
+    state = {}
+    for pos, (key, ct) in enumerate(seq[:upto]):
+        state[key] = (DIFF_CHANGE_TYPES[ct], pos)
+    return {k: pos for k, (ct, pos) in state.items() if ct != "DELETE"}
+
+
+@given(args=diff_strategy)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_diff_spec_for_any_sequence_and_cut(spark, args):
+    """For ANY change sequence and ANY cut: the diff's INSERT/UPDATE/
+    DELETE sets are exactly the set differences of the two sequential
+    replays — the spec of snapshot-based replication."""
+    from sfdc_cdc_aws_spark.operators.cdc_analytics import diff_changes
+
+    seq, cut = args
+    rows = [
+        ("e", key, DIFF_CHANGE_TYPES[ct], pos, pos)
+        for pos, (key, ct) in enumerate(seq)
+    ]
+    ch = spark.createDataFrame(
+        rows, "entity_name string, uid long, change_type string, "
+        "commit_ts_ms long, replay_id long"
+    )
+    got = diff_changes(ch, cut).collect()
+    a, b = _live(seq, cut), _live(seq, len(seq))
+    want_ins = {k for k in b if k not in a}
+    want_del = {k for k in a if k not in b}
+    want_upd = {k for k in b if k in a and a[k] != b[k]}
+    ins = {int(r.record_id[3:]) for r in got if r.diff_type == "INSERT"}
+    dele = {int(r.record_id[3:]) for r in got if r.diff_type == "DELETE"}
+    upd = {int(r.record_id[3:]) for r in got if r.diff_type == "UPDATE"}
+    assert ins == want_ins and dele == want_del and upd == want_upd
+    for r in got:
+        if r.diff_type == "UPDATE":
+            assert r.old_replay_id == a[int(r.record_id[3:])]
+            assert r.new_replay_id == b[int(r.record_id[3:])]
