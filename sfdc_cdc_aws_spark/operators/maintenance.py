@@ -225,3 +225,67 @@ def file_skipping_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_key.alias("read_key"),
         (read_date & read_price & read_key).alias("must_read"),
     )
+
+
+# Scale factor for the cross-engine variance check: o_totalprice ~
+# [1e3, 5e5] makes raw variances ~1e10, where engine-vs-engine float
+# differences (~1e-9 relative) exceed a 6-decimal round. Scaling to
+# ~[0, 5] puts the agreement margin (~1e-12 absolute) far inside it.
+STATS_SCALE = 100_000.0
+
+
+@query(
+    "incremental_stats_merge",
+    oracle=f"""
+SELECT CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS INT) AS yr,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(o_totalprice / {STATS_SCALE}), 6) AS mean_scaled,
+       round(var_pop(o_totalprice / {STATS_SCALE}), 6) AS var_scaled
+FROM orders GROUP BY 1
+""",
+)
+def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-variance maintenance: yearly mean/variance computed by
+    MERGING monthly (n, mean, M2) partials with the parallel-axis
+    form — combined M2 = Σ M2_i + Σ n_i·(mean_i − mean)² — while the
+    oracle recomputes the statistics directly. Equality is the
+    mergeability contract that makes second-moment statistics
+    maintainable like the IVM rollup above: closed months keep their
+    3-number summary, a new month appends its partial, and the yearly
+    statistics refresh WITHOUT rescanning history — the same
+    discipline profilers (table_profile) and quality monitors need at
+    100 TB, where "recompute variance over the table" is not a plan.
+
+    Plan: two-level aggregation, both levels map-side-combinable —
+    the scan collapses to one (n, mean, M2) row per month, the merge
+    shuffle carries one row per (year, month), and the final merge
+    runs over 12 partials per year."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice") / STATS_SCALE
+    monthly = o.groupBy(
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("month")
+    ).agg(
+        F.count("*").alias("n_i"),
+        F.avg(x).alias("mean_i"),
+        (F.var_pop(x) * F.count("*")).alias("m2_i"),
+    )
+    yearly = monthly.groupBy(
+        F.substring("month", 1, 4).cast("int").alias("yr")
+    ).agg(
+        F.sum("n_i").alias("n"),
+        (F.sum(F.col("n_i") * F.col("mean_i")) / F.sum("n_i")).alias("mean"),
+        F.sum("m2_i").alias("sum_m2"),
+        F.sum(F.col("n_i") * F.col("mean_i") * F.col("mean_i")).alias("sum_nm2"),
+    )
+    # parallel-axis: Σ n_i·(mean_i − mean)² = Σ n_i·mean_i² − n·mean²
+    var = (
+        F.col("sum_m2")
+        + F.col("sum_nm2")
+        - F.col("n") * F.col("mean") * F.col("mean")
+    ) / F.col("n")
+    return yearly.select(
+        "yr",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mean", 6).alias("mean_scaled"),
+        F.round(var, 6).alias("var_scaled"),
+    )

@@ -79,3 +79,40 @@ def test_mixture_weights_capped_and_shares_sum(spark):
         assert 0 < r.weight <= MIX_CAP
         if r.capped:
             assert r.weight == MIX_CAP
+
+
+def test_stats_merge_equals_direct_variance(spark):
+    """The mergeability contract: yearly variance assembled from
+    monthly (n, mean, M2) partials must match a direct single-pass
+    var_pop to float precision."""
+    import math
+
+    from sfdc_cdc_aws_spark.operators.maintenance import (
+        STATS_SCALE,
+        incremental_stats_merge,
+    )
+
+    merged = {
+        r.yr: (r.n, r.mean_scaled, r.var_scaled)
+        for r in incremental_stats_merge(spark, SF_ORACLE).collect()
+    }
+    direct = {
+        r.yr: (r.n, r.mean_d, r.var_d)
+        for r in (
+            load_table(spark, SF_ORACLE, "orders")
+            .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+            .agg(
+                F.count("*").alias("n"),
+                F.avg(F.col("o_totalprice") / STATS_SCALE).alias("mean_d"),
+                F.var_pop(F.col("o_totalprice") / STATS_SCALE).alias("var_d"),
+            )
+            .collect()
+        )
+    }
+    assert merged.keys() == direct.keys()
+    for yr in merged:
+        nm, mm, vm = merged[yr]
+        nd, md, vd = direct[yr]
+        assert nm == nd
+        assert math.isclose(mm, md, abs_tol=1e-6)
+        assert math.isclose(vm, vd, abs_tol=1e-6)
