@@ -550,3 +550,40 @@ def test_bloom_filter_join_injects_runtime_filter(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_rfm_windows_run_on_per_user_relation(spark):
+    """RFM: the event scan collapses at a map-side partial before any
+    ntile window touches data — windows see users, not events."""
+    df = _df(spark, "rfm_segmentation")
+    assert has_partial_aggregate(df)
+    assert "event_type" in str(pushed_filters(df))
+
+
+def test_stats_merge_two_level_partials(spark):
+    """Parallel-variance maintenance: both aggregation levels combine
+    map-side; no join anywhere."""
+    df = _df(spark, "incremental_stats_merge")
+    assert has_partial_aggregate(df)
+    assert not join_kinds(df)
+
+
+def test_triangle_enumeration_is_equi_join_only(spark):
+    """Triangle counting must stay equi-join shuffles — a cartesian
+    wedge product would be quadratic in edges."""
+    kinds = join_kinds(_df(spark, "triangle_count"))
+    assert kinds and not any("Cartesian" in k or "NestedLoop" in k for k in kinds)
+
+
+def test_contrastive_mining_broadcasts_anchors(spark):
+    """The anchor set must broadcast; the corpus is never shuffled for
+    the scoring join."""
+    kinds = join_kinds(_df(spark, "contrastive_pair_mining"))
+    assert kinds and all("Broadcast" in k for k in kinds)
+
+
+def test_semantic_prune_broadcasts_pivots(spark):
+    """Pivot relation (one row per cell) broadcasts back onto the
+    index — Σ cell comparisons, never Σ cell²."""
+    kinds = join_kinds(_df(spark, "semantic_prune"))
+    assert kinds and all("Broadcast" in k for k in kinds)
