@@ -651,3 +651,62 @@ def change_significance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("i") / F.count("*"), 6).alias("suppress_rate"),
         )
     )
+
+
+# Point-in-time read timestamp: mid-feed like DIFF_CUT_MS, so the
+# as-of state is non-degenerate at every SF.
+ASOF_TS_MS = 1_705_363_200_000  # 2024-01-16T00:00:00Z
+
+
+@query(
+    "scd2_time_travel",
+    oracle=f"""
+WITH {CHANGES_CTE},
+hist AS (
+  SELECT entity_name, uid, change_type AS uind,
+         commit_ts_ms AS valid_from_ms,
+         lead(commit_ts_ms) OVER w AS valid_to_ms
+  FROM changes
+  WINDOW w AS (PARTITION BY entity_name, uid
+               ORDER BY commit_ts_ms, replay_id)
+)
+SELECT entity_name,
+       printf('00D%015d', uid) AS record_id,
+       uind, valid_from_ms
+FROM hist
+WHERE valid_from_ms <= {ASOF_TS_MS}
+  AND (valid_to_ms IS NULL OR valid_to_ms > {ASOF_TS_MS})
+  AND uind <> 'DELETE'
+""",
+)
+def scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read over the SCD2 history: the
+    dimension's live state AS OF {ASOF_TS_MS} — each key's version
+    whose validity interval covers the read timestamp, tombstoned
+    keys excluded. This is the query a reproducible training run or
+    an audit issues against the CDC lake ("what did the table say
+    when the model was trained?"), and together with snapshot_diff
+    it closes the snapshot lifecycle: travel to A, diff A→B, apply.
+
+    Consistency is by construction: the same change log that builds
+    the flagship snapshot serves every historical version, so
+    time-travel needs no extra storage — just the interval predicate
+    over scd2_history's windowed output (one shuffle on the key,
+    the minimum for versioning semantics)."""
+    hist = scd2_history(spark, sf_dir)
+    return (
+        hist.where(
+            (F.col("valid_from_ms") <= ASOF_TS_MS)
+            & (
+                F.col("valid_to_ms").isNull()
+                | (F.col("valid_to_ms") > ASOF_TS_MS)
+            )
+            & (F.col("uind") != "DELETE")
+        )
+        .select(
+            "entity_name",
+            F.format_string(ID_FMT, F.col("uid")).alias("record_id"),
+            "uind",
+            "valid_from_ms",
+        )
+    )

@@ -296,3 +296,20 @@ def test_semantic_prune_never_prunes_pivots(spark):
         assert r.pivot_id == pivot_of[r.cent_id]
         assert r.vec_id != r.pivot_id
         assert r.vec_id in members[r.cent_id]
+
+
+def test_time_travel_agrees_with_diff_epoch_a(spark):
+    """Cross-operator consistency: the SCD2 time-travel read at the
+    diff cut must return exactly snapshot_diff's epoch-A live keys —
+    two independent derivations of 'state as of T' from the log."""
+    from sfdc_cdc_aws_spark.operators.cdc_analytics import (
+        ASOF_TS_MS,
+        scd2_time_travel,
+    )
+
+    assert ASOF_TS_MS == DIFF_CUT_MS
+    asof = {
+        (r.entity_name, int(r.record_id[3:]))
+        for r in scd2_time_travel(spark, SF_ORACLE).collect()
+    }
+    assert asof == _live_keys(spark, SF_ORACLE, DIFF_CUT_MS)
