@@ -480,9 +480,9 @@ arrivals AS (
   FROM changes
   UNION ALL
   SELECT entity_name, commit_ts_ms, record_id,
-         replay_id * 2 + {{REDELIVER_LAG}} AS arrival_seq,
+         replay_id * 2 + {REDELIVER_LAG} AS arrival_seq,
          TRUE AS is_redelivery
-  FROM changes WHERE replay_id % {{REDELIVER_EVERY}} = 0
+  FROM changes WHERE replay_id % {REDELIVER_EVERY} = 0
 ),
 seq AS (
   SELECT entity_name, commit_ts_ms, is_redelivery,
@@ -499,7 +499,7 @@ SELECT entity_name,
             AS BIGINT) AS n_late,
        max(high_water - commit_ts_ms) AS max_lateness_ms
 FROM seq GROUP BY entity_name
-""".format(REDELIVER_LAG=REDELIVER_LAG, REDELIVER_EVERY=REDELIVER_EVERY),
+""",
 )
 def late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How late can a duplicate arrive? — the measured event-time

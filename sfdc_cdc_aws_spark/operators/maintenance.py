@@ -259,7 +259,13 @@ def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two-level aggregation, both levels map-side-combinable —
     the scan collapses to one (n, mean, M2) row per month, the merge
     shuffle carries one row per (year, month), and the final merge
-    runs over 12 partials per year."""
+    runs over 12 partials per year (the yearly mean is computed
+    first and broadcast back onto the monthly partials so the
+    parallel-axis term Σ n_i·(mean_i − mean)² is summed in its
+    STABLE form — each addend is a non-negative squared deviation —
+    rather than the cancellation-prone Σ n_i·mean_i² − n·mean²
+    expansion, which loses digits silently once values stop being
+    O(1))."""
     o = load_table(spark, sf_dir, "orders")
     x = F.col("o_totalprice") / STATS_SCALE
     monthly = o.groupBy(
@@ -269,23 +275,22 @@ def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(x).alias("mean_i"),
         (F.var_pop(x) * F.count("*")).alias("m2_i"),
     )
-    yearly = monthly.groupBy(
-        F.substring("month", 1, 4).cast("int").alias("yr")
-    ).agg(
+    monthly = monthly.withColumn(
+        "yr", F.substring("month", 1, 4).cast("int")
+    )
+    yearly_mean = monthly.groupBy("yr").agg(
         F.sum("n_i").alias("n"),
         (F.sum(F.col("n_i") * F.col("mean_i")) / F.sum("n_i")).alias("mean"),
-        F.sum("m2_i").alias("sum_m2"),
-        F.sum(F.col("n_i") * F.col("mean_i") * F.col("mean_i")).alias("sum_nm2"),
     )
-    # parallel-axis: Σ n_i·(mean_i − mean)² = Σ n_i·mean_i² − n·mean²
-    var = (
-        F.col("sum_m2")
-        + F.col("sum_nm2")
-        - F.col("n") * F.col("mean") * F.col("mean")
-    ) / F.col("n")
-    return yearly.select(
+    dev = F.col("mean_i") - F.col("mean")
+    merged = (
+        monthly.join(F.broadcast(yearly_mean), "yr")
+        .groupBy("yr", "n", "mean")
+        .agg(F.sum(F.col("m2_i") + F.col("n_i") * dev * dev).alias("m2"))
+    )
+    return merged.select(
         "yr",
         F.col("n").cast("bigint").alias("n"),
         F.round("mean", 6).alias("mean_scaled"),
-        F.round(var, 6).alias("var_scaled"),
+        F.round(F.col("m2") / F.col("n"), 6).alias("var_scaled"),
     )

@@ -192,7 +192,15 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the window is open; session confs are restored before
     returning. tests/test_plan_shapes.py asserts bloom_filter_agg +
     might_contain are actually in the plan — the feature, not the
-    configuration, is what is under test."""
+    configuration, is what is under test.
+
+    Concurrency note: the conf window mutates SESSION-scoped SQL
+    confs, so any plan built on the same ``SparkSession`` from
+    another thread while the window is open would capture them. The
+    bench/test harness builds plans sequentially, which is the
+    assumed contract; if concurrent plan building is ever introduced,
+    scope this via ``spark.newSession()`` (confs are per-session)
+    instead of the save/restore window."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_totalprice") > BLOOM_PRICE_MIN
@@ -230,25 +238,49 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FMT_COLS = ["event_id", "user_id", "event_type", "value"]
 
 
+def _format_copies_base() -> str:
+    """Per-user scratch root for engine-written format copies.
+
+    Keyed by uid so two users on one machine never contend for the
+    same path (a root-owned /tmp/sfdc_format_copies would fail every
+    other user's write with EACCES)."""
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(), f"sfdc_format_copies_{uid}")
+
+
 def _ensure_format_copies(
-    spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_format_copies"
+    spark: SparkSession, sf_dir: str, base: str | None = None
 ) -> dict[str, str]:
     """Materialize CSV and ORC copies of the events slice once per
     source content (same fingerprint discipline as the bucketed
     tables and landing dir): the fixture ships parquet only, so the
-    non-parquet read paths need engine-written copies to read back."""
+    non-parquet read paths need engine-written copies to read back.
+    Stale copies of OTHER fingerprints are pruned on write so the
+    scratch dir holds at most one copy per (format, fixture name)
+    instead of growing unbounded across fixture regenerations."""
+    import shutil
+
     from sfdc_cdc_aws_spark.sources.tables import table_path
 
+    if base is None:
+        base = _format_copies_base()
     st = os.stat(table_path(sf_dir, "events"))
-    name = (
-        f"{os.path.basename(sf_dir.rstrip('/'))}_v1"
-        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
-    )
+    prefix = f"{os.path.basename(sf_dir.rstrip('/'))}_v1"
+    name = f"{prefix}_{st.st_mtime_ns % 10**9}_{st.st_size}"
     out = {}
     src = load_table(spark, sf_dir, "events").select(*_FMT_COLS)
     for fmt in ("csv", "orc"):
-        path = os.path.join(base, fmt, name)
+        fmt_dir = os.path.join(base, fmt)
+        path = os.path.join(fmt_dir, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            if os.path.isdir(fmt_dir):
+                for stale in os.listdir(fmt_dir):
+                    if stale.startswith(prefix) and stale != name:
+                        shutil.rmtree(
+                            os.path.join(fmt_dir, stale), ignore_errors=True
+                        )
             w = src.write.mode("overwrite")
             if fmt == "csv":
                 w = w.option("header", "true")
