@@ -35,6 +35,9 @@ def _last_verified_round() -> dict[str, int]:
     import os
     import re
 
+    has_oracle = {
+        name: spec.oracle is not None for name, spec in load_all().items()
+    }
     last: dict[str, int] = {}
     for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)\.json$", os.path.basename(path))
@@ -54,8 +57,13 @@ def _last_verified_round() -> dict[str, int]:
             # verified when the driver recorded their row count —
             # that IS their whole check, so they rotate like the rest
             # instead of camping at the head as "never verified".
+            # But if a key HAS an oracle now, only hash-green rows
+            # count: a key upgraded from rows-only to oracle-backed
+            # re-sorts to the head until its hash is on record.
             rows_only = (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and not has_oracle.get(key, False)
             )
             if green or rows_only:
                 last[key] = max(last.get(key, 0), rnd)

@@ -1,6 +1,10 @@
-"""Approximate aggregates have no cross-engine oracle (different
-sketch algorithms), so their correctness statement is an error bound
-against the exact answer computed in the same engine."""
+"""Approximate aggregates: their raw estimates have no cross-engine
+oracle (different sketch algorithms), so correctness is (a) an error
+bound against the exact answer computed in the same engine over the
+FULL domain, and (b) since round 5, the registered queries emit
+bound-verification relations whose booleans a DuckDB oracle pins to
+TRUE — these tests check the raw helpers AND that the verification
+relations verify."""
 
 from __future__ import annotations
 
@@ -13,10 +17,9 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_sketches_within_error_bounds(spark):
-    approx = {
-        r["l_returnflag"]: r
-        for r in load_all()["sketch_suite"].fn(spark, SF).collect()
-    }
+    from sfdc_cdc_aws_spark.operators.udfs import approx_sketches
+
+    approx = {r["l_returnflag"]: r for r in approx_sketches(spark, SF).collect()}
     exact = {
         r["l_returnflag"]: r
         for r in (
@@ -41,14 +44,19 @@ def test_sketches_within_error_bounds(spark):
             assert abs(got - want) <= max(1.0, 0.05 * want)
 
 
+def test_sketch_suite_verification_relation_all_true(spark):
+    rows = load_all()["sketch_suite"].fn(spark, SF).collect()
+    assert rows, "verification relation empty"
+    for r in rows:
+        assert r["distinct_ok"], f"{r['l_returnflag']}: HLL out of bound"
+        for c in ("q25_ok", "q50_ok", "q75_ok"):
+            assert r[c], f"{r['l_returnflag']}: {c} rank check failed"
+
+
 def test_heavy_hitters_within_mg_bound(spark):
     """Summed Misra-Gries sketches: estimates within N/C below truth,
     never above, and the true top tokens all survive."""
-    from sfdc_cdc_aws_spark.operators.udfs import (
-        MG_CAPACITY,
-        heavy_hitters_sketch,
-    )
-    from sfdc_cdc_aws_spark.registry import load_all
+    from sfdc_cdc_aws_spark.operators.udfs import MG_CAPACITY, mg_sketch
 
     sf = "/root/testdata/sf0.001"
     specs = load_all()
@@ -58,7 +66,7 @@ def test_heavy_hitters_within_mg_bound(spark):
     }
     n_total = sum(exact.values())
     bound = n_total / MG_CAPACITY
-    approx = {r["token"]: r["est_count"] for r in heavy_hitters_sketch(spark, sf).collect()}
+    approx = {r["token"]: r["est_count"] for r in mg_sketch(spark, sf).collect()}
     assert approx, "sketch returned nothing"
     for tok, est in approx.items():
         assert est <= exact[tok], f"{tok} overestimated"
@@ -67,3 +75,11 @@ def test_heavy_hitters_within_mg_bound(spark):
     for tok, n in exact.items():
         if n > bound:
             assert tok in approx, f"heavy hitter {tok} missing"
+
+
+def test_heavy_hitters_verification_relation_all_true(spark):
+    rows = load_all()["heavy_hitters_sketch"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no true heavy hitters at this SF — relation is vacuous"
+    for r in rows:
+        assert r["in_sketch"], f"{r['token']} missing from sketch"
+        assert r["within_bound"], f"{r['token']} estimate out of MG bound"
