@@ -1,0 +1,88 @@
+"""The scale-stress machinery (tools/gen_scale_fixture.py +
+tools/scale_stress.py), kept green at CI size: derive a 10x fixture
+from sf0.001 and prove the cap-sensitive dedup/LSH/ANN keys still
+hash-match their UNCAPPED DuckDB oracles there, with the blocking
+caps not binding. The full-size run (10x sf0.1 = 50k docs / 20k
+vectors) is recorded in SCALE_STRESS.json and quoted by BASELINE.md —
+same code path, one order of magnitude up."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE_SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def derived_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("scale") / "sf001x10"
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "gen_scale_fixture.py"),
+            "--base", BASE_SF,
+            "--k", "10",
+            "--out", str(out),
+        ],
+        check=True,
+    )
+    return str(out)
+
+
+def test_derived_fixture_shape(derived_dir):
+    import pyarrow.parquet as pq
+
+    base_docs = pq.ParquetFile(
+        os.path.join(BASE_SF, "documents.parquet")
+    ).metadata.num_rows
+    docs = pq.ParquetFile(
+        os.path.join(derived_dir, "documents.parquet")
+    ).metadata.num_rows
+    assert docs == 10 * base_docs
+    # symlinked dims make it a complete sf_dir
+    assert os.path.exists(os.path.join(derived_dir, "lineitem.parquet"))
+
+
+def test_caps_do_not_bind_and_uncapped_oracles_match(spark, derived_dir):
+    from sfdc_cdc_aws_spark.registry import load_all
+    from tests.oracle import compare, duck_connection
+    from tools.scale_stress import KEYS, headroom_sql, observed_metrics
+
+    con = duck_connection(derived_dir)
+    try:
+        head = headroom_sql(con)
+    finally:
+        con.close()
+    assert head["ngram_lists_over_cap"] == 0, head
+    assert head["minhash_buckets_over_cap"] == 0, head
+
+    specs = load_all()
+    for key in KEYS:
+        df = specs[key].fn(spark, derived_dir)
+        compare(df, specs[key].oracle, derived_dir)
+        obs = observed_metrics(df)
+        for metrics in obs.values():
+            for name, val in metrics.items():
+                if name.startswith("capped_"):
+                    assert val == 0, f"{key}: {name}={val}"
+
+
+def test_full_size_report_is_green():
+    """SCALE_STRESS.json is a committed artifact of the 10x-sf0.1 run;
+    pin that what we committed says MATCH everywhere with zero capped
+    structures, so a regenerated report that regresses fails CI."""
+    path = os.path.join(REPO, "SCALE_STRESS.json")
+    with open(path) as f:
+        rep = json.load(f)
+    assert rep["headroom"]["ngram_lists_over_cap"] == 0
+    assert rep["headroom"]["minhash_buckets_over_cap"] == 0
+    for key, row in rep["keys"].items():
+        assert row["uncapped_oracle"] == "MATCH", key
+        # ~linear or better: 10x the data in at most ~10x the wall
+        assert row["scale_ratio"] <= 10.0, (key, row["scale_ratio"])

@@ -1,0 +1,126 @@
+"""Derive a ~Kx scale-stress fixture from a driver fixture dir.
+
+The driver ships sf0.001/0.01/0.1 (TESTDATA.md); every blocking cap in
+the dedup/LSH/ANN family (NGRAM_POSTING_CAP, MINHASH_BUCKET_CAP,
+IVF N_PROBE) is sized relative to sf0.1, so correctness at sf0.1 says
+nothing about whether the caps BIND at the next order of magnitude.
+This tool derives a K-times-larger documents/embeddings pair in the
+same distributional shape so the cap-sensitive keys can be re-run
+against their UNCAPPED DuckDB oracles at that scale
+(tools/scale_stress.py):
+
+- documents: K replicas; replica r>0 shifts doc_id by r*ID_STRIDE and
+  rewrites every (8+4r)-th whitespace token to a replica-unique marker.
+  That makes each original the center of a near-dup cluster of size K
+  with graded similarity (4-gram shingle survival ~ 1-4/(8+4r):
+  replica 1 sits near Jaccard ~0.5, replica 9 near ~0.8) — exactly the
+  crawl-corpus structure (boilerplate + template families) that grows
+  posting lists and LSH buckets ~Kx, which is the stress the caps must
+  survive.
+- embeddings: K replicas; replica r>0 shifts vec_id and adds seeded
+  N(0, 0.02*std) noise per dimension — Kx denser IVF cells around the
+  same centroid geometry (centroids stay vec_id < N_CENTROIDS, i.e.
+  replica 0, so the index layout is unchanged while every cell holds
+  ~Kx more members).
+- all other tables: symlinked from the base fixture so the derived dir
+  is a complete sf_dir for load_table()/duckdb views.
+
+Derivation is pure deterministic arithmetic on the base parquet; the
+oracle reads the SAME derived parquet, so no cross-engine contract is
+involved — only scale.
+
+Usage: python tools/gen_scale_fixture.py [--base /root/testdata/sf0.1]
+       [--k 10] [--out .scale/sf1x]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ID_STRIDE = 10_000_000
+_WS = re.compile(r"\s+")
+
+
+def derive_documents(base_dir: str, k: int) -> pd.DataFrame:
+    src = pq.read_table(os.path.join(base_dir, "documents.parquet")).to_pandas()
+    reps = [src]
+    for r in range(1, k):
+        period = 8 + 4 * r
+        rep = src.copy()
+        rep["doc_id"] = rep["doc_id"] + r * ID_STRIDE
+
+        def perturb(text: str, r: int = r, period: int = period) -> str:
+            toks = _WS.split(text.strip())
+            return " ".join(
+                f"v{r}w{i}" if i % period == 0 else t
+                for i, t in enumerate(toks)
+            )
+
+        rep["text"] = rep["text"].map(perturb)
+        rep["n_chars"] = rep["text"].str.len().astype(src["n_chars"].dtype)
+        reps.append(rep)
+    return pd.concat(reps, ignore_index=True)
+
+
+def derive_embeddings(base_dir: str, k: int) -> pa.Table:
+    t = pq.read_table(os.path.join(base_dir, "embeddings.parquet"))
+    src = t.to_pandas()
+    mat = np.stack(src["embedding"].to_numpy())  # (n, dim) float32
+    sigma = 0.02 * float(mat.std())
+    reps = [src]
+    for r in range(1, k):
+        rng = np.random.default_rng(1_000_003 * r)
+        rep = src.copy()
+        rep["vec_id"] = rep["vec_id"] + r * ID_STRIDE
+        noisy = (mat + rng.normal(0.0, sigma, mat.shape)).astype(np.float32)
+        rep["embedding"] = list(noisy)
+        reps.append(rep)
+    out = pd.concat(reps, ignore_index=True)
+    return pa.Table.from_pandas(out, schema=t.schema, preserve_index=False)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", default=".scale/sf1x")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = args.out if os.path.isabs(args.out) else os.path.join(repo, args.out)
+    os.makedirs(out, exist_ok=True)
+
+    docs = derive_documents(args.base, args.k)
+    doc_schema = pq.read_table(
+        os.path.join(args.base, "documents.parquet")
+    ).schema
+    pq.write_table(
+        pa.Table.from_pandas(docs, schema=doc_schema, preserve_index=False),
+        os.path.join(out, "documents.parquet"),
+    )
+    emb = derive_embeddings(args.base, args.k)
+    pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+
+    for name in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events",
+    ):
+        link = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(args.base, f"{name}.parquet"), link)
+
+    print(
+        f"wrote {out}: documents={len(docs)} embeddings={emb.num_rows} "
+        f"(base {args.base} x{args.k})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Scale-stress the cap-sensitive dedup/LSH/ANN keys on a derived
+~10x fixture (tools/gen_scale_fixture.py) against their UNCAPPED
+DuckDB oracles.
+
+Every blocking cap (NGRAM_POSTING_CAP, MINHASH_BUCKET_CAP) is a
+correctness-affecting admission bound sized relative to sf0.1; the
+oracles keep the uncapped self-join spec. This runner proves, at the
+next order of magnitude, that (a) results still hash-match the
+uncapped spec, (b) the caps did NOT bind — both via the operators'
+own ``observe`` metrics and via independently computed bucket/list
+maxima ("headroom"), and (c) wall time scales ~linearly vs the same
+key on sf0.1 (both timed in the same session, back to back).
+
+Writes SCALE_STRESS.json; BASELINE.md quotes it.
+
+Usage: python tools/gen_scale_fixture.py   # once
+       python tools/scale_stress.py [--fixture .scale/sf1x]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+KEYS = (
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
+    "lsh_survivor_pick",
+    "ann_ivf_topk",
+    "dedup_clusters",
+)
+
+
+def observed_metrics(df) -> dict:
+    """Drain the batch ``observe`` metrics off the DataFrame's executed
+    QueryExecution (py4j walk over the scala Map[String, Row])."""
+    out: dict = {}
+    try:
+        m = df._jdf.queryExecution().observedMetrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            row = kv._2()
+            fields = row.schema().fieldNames()
+            out[kv._1()] = {
+                fields[i]: row.get(i) for i in range(len(fields))
+            }
+    except Exception as exc:  # metric extraction must never fail the run
+        out["_error"] = repr(exc)
+    return out
+
+
+def headroom_sql(con) -> dict:
+    """Independent (DuckDB-computed) blocking-structure maxima vs the
+    engine's admission caps — cap didn't bind iff max < cap."""
+    from sfdc_cdc_aws_spark.operators.dedup import (
+        MINHASH_BUCKET_CAP,
+        N_BANDS,
+        NGRAM_POSTING_CAP,
+        ROWS_PER_BAND,
+        _DUCK_SIG_CTE,
+    )
+    from sfdc_cdc_aws_spark.operators.text import _DUCK_TOKENS
+
+    ngram = con.sql(
+        f"""
+WITH toks AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(generate_series(1, len(t) - 3),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g
+  FROM toks WHERE len(t) >= 4
+),
+lists AS (SELECT lang, g, count(*) AS c FROM sh GROUP BY 1, 2)
+SELECT max(c) AS max_list,
+       sum(CASE WHEN c > {NGRAM_POSTING_CAP} THEN 1 ELSE 0 END) AS over_cap
+FROM lists
+"""
+    ).fetchone()
+    minhash = con.sql(
+        f"""
+WITH {_DUCK_SIG_CTE},
+bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(sig[b * {ROWS_PER_BAND} + 1 : (b + 1) * {ROWS_PER_BAND}],
+                         '-') AS bucket
+  FROM sigs, unnest(generate_series(0, {N_BANDS - 1})) AS u(b)
+),
+buckets AS (SELECT band_id, bucket, count(*) AS c FROM bands GROUP BY 1, 2)
+SELECT max(c) AS max_bucket,
+       sum(CASE WHEN c > {MINHASH_BUCKET_CAP} THEN 1 ELSE 0 END) AS over_cap
+FROM buckets
+"""
+    ).fetchone()
+    return {
+        "ngram_max_posting_list": int(ngram[0]),
+        "ngram_posting_cap": NGRAM_POSTING_CAP,
+        "ngram_lists_over_cap": int(ngram[1]),
+        "minhash_max_bucket": int(minhash[0]),
+        "minhash_bucket_cap": MINHASH_BUCKET_CAP,
+        "minhash_buckets_over_cap": int(minhash[1]),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fixture", default=os.path.join(REPO, ".scale", "sf1x"))
+    ap.add_argument("--baseline-sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALE_STRESS.json"))
+    args = ap.parse_args()
+
+    from sfdc_cdc_aws_spark.registry import load_all
+    from sfdc_cdc_aws_spark.session import get_session
+    from tests.oracle import compare, duck_connection
+
+    spark = get_session("scale-stress")
+    specs = load_all()
+    report: dict = {
+        "fixture": args.fixture,
+        "baseline_sf": args.baseline_sf,
+        "keys": {},
+    }
+
+    con = duck_connection(args.fixture)
+    try:
+        report["headroom"] = headroom_sql(con)
+    finally:
+        con.close()
+
+    for key in KEYS:
+        spec = specs[key]
+        row: dict = {}
+        # warm the materialized prefixes (signatures, IVF index) at both
+        # SFs so timings measure the query, not one-time index builds —
+        # mirroring bench.py's steady-state convention. Timed window
+        # includes the builder call: iterative operators
+        # (dedup_clusters) run their loop at build time.
+        for sf in (args.baseline_sf, args.fixture):
+            spec.fn(spark, sf).count()
+        t0 = time.monotonic()
+        spec.fn(spark, args.baseline_sf).count()
+        row["sf01_sec"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        n = spec.fn(spark, args.fixture).count()
+        row["sf1x_sec"] = round(time.monotonic() - t0, 3)
+        row["sf1x_rows"] = n
+        row["scale_ratio"] = round(row["sf1x_sec"] / max(row["sf01_sec"], 1e-9), 2)
+
+        # correctness + observe metrics off the SAME executed plan:
+        # compare() drives toPandas on this exact DataFrame, which is
+        # what populates its QueryExecution's observed metrics
+        # (count() executes a derived aggregate plan instead and would
+        # leave them empty)
+        df = spec.fn(spark, args.fixture)
+        try:
+            compare(df, spec.oracle, args.fixture)
+            row["uncapped_oracle"] = "MATCH"
+        except AssertionError as exc:
+            row["uncapped_oracle"] = f"MISMATCH: {exc}"
+        row["observed"] = observed_metrics(df)
+        report["keys"][key] = row
+        print(key, json.dumps(row)[:300])
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
