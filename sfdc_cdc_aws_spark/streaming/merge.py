@@ -3,32 +3,57 @@
 The lake view the reference promises its consumers — "latest full
 record per Id" (SURVEY.md §2.7) — maintained incrementally from the
 stream instead of recomputed: per micro-batch, reduce the batch to
-its latest-per-key rows, merge against the persisted state, and swap.
+its latest-per-key rows, merge against the persisted state, and
+publish. Tombstones stay IN the state (a later batch must not
+resurrect an older pre-delete row); readers filter
+``change_type <> 'DELETE'`` (``current()`` below).
 
-Delta/Iceberg are not on this classpath (TESTDATA container), so the
-merge is emulated with the classic anti-join-free formulation:
-``union → max_by per key → atomic directory swap``. With Delta the
-``write`` below becomes ``MERGE INTO ... WHEN MATCHED UPDATE``, and
-file-level pruning replaces the full-state rewrite; the streaming
-side (checkpoint, foreachBatch, per-batch reduction) is unchanged.
-Tombstones stay IN the state (a later batch must not resurrect an
-older pre-delete row); readers filter ``change_type <> 'DELETE'``
-(``current()`` below).
+Commit protocol: WRITE-AUDIT-PUBLISH over a version manifest — the
+same discipline Delta/Iceberg implement with their transaction logs,
+reduced to its essentials for a plain-parquet state dir:
 
-Crash safety: the swap is two renames, which cannot be jointly
-atomic on a filesystem, so the protocol uses FIXED names
-(``<state>__stage`` / ``<state>__old``) and ``_recover()`` repairs
-any interrupted swap before the state is next read: a crash after
-``state → old`` but before ``stage → state`` rolls back to ``old``
-(the interrupted batch's epoch was never committed to the streaming
-checkpoint — foreachBatch commits only after ``upsert`` returns — so
-the batch replays and re-merges). Without this, that crash window
-silently dropped ALL accumulated state while the checkpoint kept
-marking earlier batches done.
+- WRITE: each upsert stages the merged state into a fresh, numbered
+  epoch directory (``epoch_NNNNNN``). Staged data is INVISIBLE — no
+  reader resolves it, no matter how many files have landed — so a
+  crash at any point mid-write (including between partition files)
+  leaves only ignorable garbage that the next attempt's
+  ``mode=overwrite`` clears.
+- AUDIT: before publishing, the staged epoch is read back and checked
+  against the state invariants (Spark's ``_SUCCESS`` commit marker
+  present; key uniqueness — this IS a latest-per-key relation). A
+  failed audit raises and never publishes: bad data cannot become
+  current.
+- PUBLISH: the ``MANIFEST`` file (JSON: epoch number + audited row
+  count) is written to a temp name, fsync'd, and ``os.replace``d into
+  place — a single atomic rename, the only mutation readers can ever
+  observe. The directory fd is fsync'd after the rename so the
+  publish survives power loss, not just process death.
+
+Readers PIN the manifest: ``read()`` resolves MANIFEST once and scans
+exactly that epoch directory. There is no repair-on-read, no window
+where the state path doesn't exist (the fault of the previous
+rename-dance protocol this replaces), and a reader concurrent with a
+crashed writer sees the old epoch or — after a successful publish —
+the new one, never a mix. The previous epoch is retained
+(``keep_epochs``) so the published history supports point-in-time
+reads (``read_epoch``/``epochs``) — the commit-protocol backbone
+under the ``snapshot_diff``/``scd2_time_travel`` family.
+
+Exactly-once composition: ``foreachBatch`` commits the streaming
+checkpoint only after ``upsert`` returns, so any crash before PUBLISH
+leaves the manifest on the prior epoch and the batch replays —
+re-merging is idempotent (``_latest_per_key`` is a max, and replayed
+rows lose to themselves).
+
+With Delta/Iceberg on the classpath this class collapses to
+``MERGE INTO ... WHEN MATCHED UPDATE`` and file-level pruning
+replaces the full-state rewrite; the streaming side (checkpoint,
+foreachBatch, per-batch reduction) is unchanged.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -37,6 +62,8 @@ from pyspark.sql import functions as F
 
 _KEY = ("entity_name", "uid")
 _ORDER = ("commit_ts_ms", "replay_id")
+
+MANIFEST_NAME = "MANIFEST"
 
 
 def _latest_per_key(df: DataFrame) -> DataFrame:
@@ -50,69 +77,136 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
     )
 
 
-class IncrementalSnapshot:
-    """Parquet-backed latest-per-key state with atomic swap updates."""
+class AuditError(RuntimeError):
+    """Staged epoch violated a state invariant; nothing was published."""
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+
+class IncrementalSnapshot:
+    """Parquet-backed latest-per-key state with manifest-pinned
+    write-audit-publish commits (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, keep_epochs: int = 2):
         self.spark = spark
         self.state_dir = state_dir
+        self.keep_epochs = max(1, keep_epochs)
+
+    # -- manifest ----------------------------------------------------------
 
     @property
-    def _stage(self) -> str:
-        return f"{self.state_dir}__stage"
+    def _manifest_path(self) -> str:
+        return os.path.join(self.state_dir, MANIFEST_NAME)
 
-    @property
-    def _old(self) -> str:
-        return f"{self.state_dir}__old"
+    def _read_manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
 
-    def _valid(self, path: str) -> bool:
-        return os.path.exists(os.path.join(path, "_SUCCESS"))
+    def _epoch_dir(self, n: int) -> str:
+        return os.path.join(self.state_dir, f"epoch_{n:06d}")
 
-    def _recover(self) -> None:
-        """Repair an interrupted swap (idempotent, called before every
-        read/exists/upsert). Exactly one of three states is possible:
-        swap never started (no-op), crashed mid-swap (state missing,
-        old present → roll back), or crashed after the swap before
-        cleanup (both present → finish the cleanup)."""
-        if not self._valid(self.state_dir) and self._valid(self._old):
-            if os.path.exists(self.state_dir):  # a torn, _SUCCESS-less dir
-                shutil.rmtree(self.state_dir)
-            os.rename(self._old, self.state_dir)
-        elif self._valid(self.state_dir) and os.path.exists(self._old):
-            shutil.rmtree(self._old)
+    # -- read side (pure: no repair, no mutation) --------------------------
 
     def exists(self) -> bool:
-        self._recover()
-        return self._valid(self.state_dir)
+        return self._read_manifest() is not None
+
+    def epochs(self) -> list[int]:
+        """Published epoch numbers still on disk (ascending); the last
+        is current, earlier ones serve point-in-time reads."""
+        m = self._read_manifest()
+        if m is None:
+            return []
+        out = []
+        for name in sorted(os.listdir(self.state_dir)):
+            if name.startswith("epoch_"):
+                n = int(name.split("_", 1)[1])
+                if n <= m["epoch"]:
+                    out.append(n)
+        return out
 
     def read(self) -> DataFrame:
-        self._recover()
-        return self.spark.read.parquet(self.state_dir)
+        m = self._read_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no published state at {self.state_dir}")
+        return self.spark.read.parquet(self._epoch_dir(m["epoch"]))
+
+    def read_epoch(self, n: int) -> DataFrame:
+        """Point-in-time read of a retained published epoch."""
+        if n not in self.epochs():
+            raise FileNotFoundError(
+                f"epoch {n} not retained (have {self.epochs()})"
+            )
+        return self.spark.read.parquet(self._epoch_dir(n))
 
     def current(self) -> DataFrame:
         """Consumer view: latest non-deleted record per key."""
         return self.read().where(F.col("change_type") != "DELETE")
 
+    # -- write side --------------------------------------------------------
+
+    def _audit(self, staged: str) -> dict:
+        """Read the staged epoch back and enforce the state invariants.
+        Raises AuditError (nothing published) on violation."""
+        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+            raise AuditError(f"staged epoch {staged} has no _SUCCESS marker")
+        df = self.spark.read.parquet(staged)
+        n = df.count()
+        n_keys = df.select(*_KEY).distinct().count()
+        if n != n_keys:
+            raise AuditError(
+                f"staged epoch {staged} breaks latest-per-key: "
+                f"{n} rows over {n_keys} distinct keys"
+            )
+        return {"rows": n}
+
+    def _publish(self, epoch: int, audit: dict) -> None:
+        """Atomically flip MANIFEST to the audited epoch (fsync'd temp
+        file + os.replace; directory fsync for rename durability)."""
+        tmp = self._manifest_path + ".tmp"
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+        try:
+            os.write(fd, json.dumps({"epoch": epoch, **audit}).encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        os.replace(tmp, self._manifest_path)
+        dfd = os.open(self.state_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    def _gc(self, current: int) -> None:
+        """Drop epochs older than the retention window. Best-effort: a
+        crash here just leaves an extra old epoch for the next GC."""
+        for n in self.epochs():
+            if n <= current - self.keep_epochs:
+                shutil.rmtree(self._epoch_dir(n), ignore_errors=True)
+
     def upsert(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         # reduce the incoming batch before touching state: the merge
         # input is (distinct keys in batch), not (rows in batch)
         delta = _latest_per_key(batch_df)
-        merged = (
-            _latest_per_key(self.read().unionByName(delta)) if self.exists() else delta
-        )
-        # the state relation is bounded by live-key cardinality, not by
-        # stream volume — collapse the post-agg shuffle partitions so
-        # each swap writes a few right-sized files instead of
-        # shuffle.partitions shards (coalesce is narrow: no extra
-        # shuffle). A 100 TB deployment would partition this by entity
-        # and date instead; the per-call knob keeps the same shape.
-        # mode=overwrite also clears any stage dir a crash left behind.
-        merged.coalesce(4).write.mode("overwrite").parquet(self._stage)
-        if os.path.exists(self.state_dir):
-            os.rename(self.state_dir, self._old)
-        os.rename(self._stage, self.state_dir)
-        if os.path.exists(self._old):
-            shutil.rmtree(self._old)
+        manifest = self._read_manifest()
+        if manifest is None:
+            merged, next_epoch = delta, 0
+        else:
+            merged = _latest_per_key(self.read().unionByName(delta))
+            next_epoch = manifest["epoch"] + 1
+        os.makedirs(self.state_dir, exist_ok=True)
+        staged = self._epoch_dir(next_epoch)
+        # WRITE. The state relation is bounded by live-key cardinality,
+        # not stream volume — collapse the post-agg shuffle partitions
+        # so each epoch is a few right-sized files (coalesce is narrow:
+        # no extra shuffle). A 100 TB deployment partitions this by
+        # entity and date instead; the shape is the same.
+        # mode=overwrite clears any torn stage a crash left behind at
+        # this epoch number (it was never published, so it is garbage).
+        merged.coalesce(4).write.mode("overwrite").parquet(staged)
+        audit = self._audit(staged)  # AUDIT: raises → nothing published
+        self._publish(next_epoch, audit)  # PUBLISH: the one atomic flip
+        self._gc(next_epoch)
 
     def attach(self, change_stream: DataFrame, checkpoint: str):
         """Maintain the snapshot from a streaming change feed."""

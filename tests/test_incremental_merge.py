@@ -1,13 +1,21 @@
 """Incremental MERGE-emulation: maintaining the latest snapshot from
 micro-batches must converge to the batch flagship answer regardless
-of how the stream is chopped up."""
+of how the stream is chopped up — and the write-audit-publish commit
+protocol must keep readers on a consistent published epoch through
+crashes at EVERY stage of a commit (mid-stage-write, post-write
+pre-publish, audit failure)."""
 
 from __future__ import annotations
+
+import json
+import os
+
+import pytest
 
 from sfdc_cdc_aws_spark.operators.pipeline import cdc_latest_snapshot
 from sfdc_cdc_aws_spark.sources.cdc_feed import changes
 from sfdc_cdc_aws_spark.streaming.job import changes_stream, ensure_landing
-from sfdc_cdc_aws_spark.streaming.merge import IncrementalSnapshot
+from sfdc_cdc_aws_spark.streaming.merge import AuditError, IncrementalSnapshot
 
 SF = "/root/testdata/sf0.001"
 COLS = ["entity_name", "record_id", "uind", "commit_ts_ms"]
@@ -37,18 +45,42 @@ def test_incremental_equals_batch_multi_epoch(spark, tmp_path):
     assert _state_rows(snap) == _flagship_rows(spark)
 
 
-def test_crash_between_renames_recovers(spark, tmp_path, monkeypatch):
-    """Kill the swap between ``state → old`` and ``stage → state``:
-    the next access must still see the full prior state (rolled back
-    from ``__old``), and replaying the interrupted batch — which is
-    what the streaming checkpoint does, since the epoch never
-    committed — must converge to the batch answer. This was the
-    round-1/2 exactly-once gap: a crash in that window left no state
-    dir at all while the checkpoint kept earlier batches marked done."""
-    import os as _os
+def test_crash_mid_stage_write_leaves_old_epoch(spark, tmp_path, monkeypatch):
+    """Kill the writer BETWEEN partition-file writes of the staged
+    epoch: the manifest still pins the old epoch, so a reader sees the
+    complete prior state — never a mix of old and new files — and the
+    replayed batch (the streaming checkpoint never committed) then
+    publishes cleanly over the torn garbage."""
+    snap = IncrementalSnapshot(spark, str(tmp_path / "state"))
+    ch = changes(spark, SF)
+    snap.upsert(ch.limit(500))
+    before = _state_rows(snap)
+    manifest_before = json.load(open(snap._manifest_path))
 
-    import pytest
+    # emulate the kill at the torn-write point: some partition files of
+    # epoch 1 are on disk, no _SUCCESS, no manifest flip — exactly what
+    # a SIGKILL between two executors' file commits leaves behind
+    torn = snap._epoch_dir(1)
+    os.makedirs(torn, exist_ok=True)
+    with open(os.path.join(torn, "part-00000-torn.parquet"), "wb") as f:
+        f.write(b"\x00not a parquet footer")
 
+    # reader: pinned to the published epoch, torn files invisible
+    assert json.load(open(snap._manifest_path)) == manifest_before
+    assert _state_rows(snap) == before
+
+    # replay of the interrupted batch overwrites the torn stage and
+    # publishes epoch 1 atomically
+    snap.upsert(ch)
+    assert _state_rows(snap) == _flagship_rows(spark)
+    assert json.load(open(snap._manifest_path))["epoch"] == 1
+
+
+def test_crash_before_publish_keeps_reader_on_old_epoch(spark, tmp_path, monkeypatch):
+    """Kill the writer AFTER the staged epoch is fully written but
+    before the manifest flip: the staged epoch is complete on disk yet
+    invisible — the reader stays on the old epoch until the replay
+    publishes."""
     import sfdc_cdc_aws_spark.streaming.merge as merge_mod
 
     snap = IncrementalSnapshot(spark, str(tmp_path / "state"))
@@ -56,27 +88,64 @@ def test_crash_between_renames_recovers(spark, tmp_path, monkeypatch):
     snap.upsert(ch.limit(500))
     before = _state_rows(snap)
 
-    real_rename = _os.rename
-    calls = {"n": 0}
+    real_publish = IncrementalSnapshot._publish
 
-    def dying_rename(src, dst):
-        if calls["n"] == 0:
-            calls["n"] += 1
-            return real_rename(src, dst)  # state -> old succeeds
-        raise OSError("simulated crash between renames")
+    def dying_publish(self, epoch, audit):
+        raise OSError("simulated crash before manifest flip")
 
-    monkeypatch.setattr(merge_mod.os, "rename", dying_rename)
+    monkeypatch.setattr(IncrementalSnapshot, "_publish", dying_publish)
     with pytest.raises(OSError, match="simulated crash"):
         snap.upsert(ch)
-    monkeypatch.setattr(merge_mod.os, "rename", real_rename)
+    monkeypatch.setattr(IncrementalSnapshot, "_publish", real_publish)
 
-    assert not merge_mod.os.path.exists(
-        merge_mod.os.path.join(str(tmp_path / "state"), "_SUCCESS")
-    ), "precondition: the crash really did land in the no-state window"
-    assert snap.exists(), "recovery must restore the prior state"
+    # the staged epoch 1 is fully written (_SUCCESS present)...
+    assert os.path.exists(os.path.join(snap._epoch_dir(1), "_SUCCESS"))
+    # ...but unpublished: readers still see the complete old state
+    assert json.load(open(snap._manifest_path))["epoch"] == 0
     assert _state_rows(snap) == before
+
     snap.upsert(ch)  # checkpoint replays the interrupted batch
     assert _state_rows(snap) == _flagship_rows(spark)
+
+
+def test_audit_gate_blocks_bad_epoch(spark, tmp_path):
+    """A staged epoch that breaks the latest-per-key invariant must
+    raise and never publish."""
+    snap = IncrementalSnapshot(spark, str(tmp_path / "state"))
+    ch = changes(spark, SF)
+    snap.upsert(ch.limit(500))
+
+    # stage duplicate-key rows at the next epoch path by hand
+    staged = snap._epoch_dir(1)
+    dup = ch.limit(50).unionByName(ch.limit(50))
+    dup.coalesce(1).write.mode("overwrite").parquet(staged)
+    with pytest.raises(AuditError, match="latest-per-key"):
+        snap._audit(staged)
+    # manifest untouched by the failed audit path
+    assert json.load(open(snap._manifest_path))["epoch"] == 0
+
+
+def test_retained_epoch_time_travel(spark, tmp_path):
+    """keep_epochs=2 retains the previous published epoch for
+    point-in-time reads; older epochs are GC'd."""
+    snap = IncrementalSnapshot(spark, str(tmp_path / "state"), keep_epochs=2)
+    ch = changes(spark, SF)
+    snap.upsert(ch.limit(500))
+    rows_e0 = _state_rows(snap)
+    snap.upsert(ch.limit(2000))
+    snap_prev = sorted(
+        tuple(r)
+        for r in snap.read_epoch(0)
+        .where("change_type <> 'DELETE'")
+        .selectExpr("entity_name", "record_id", "change_type AS uind", "commit_ts_ms")
+        .collect()
+    )
+    assert snap_prev == rows_e0
+    assert snap.epochs() == [0, 1]
+    snap.upsert(ch)
+    assert snap.epochs() == [1, 2]  # epoch 0 GC'd
+    with pytest.raises(FileNotFoundError):
+        snap.read_epoch(0)
 
 
 def test_incremental_idempotent_replay(spark, tmp_path):
