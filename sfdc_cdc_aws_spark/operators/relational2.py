@@ -211,6 +211,91 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOT_KEY_MOD = 4  # ~3/4 of lineitem rows collapse onto hot key 1
+
+
+def skewed_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key derived fact: every lineitem row whose orderkey is not
+    ≡0 (mod HOT_KEY_MOD) is remapped onto orderkey 1 — one key carries
+    ~75% of the relation, the canonical power-law hot key. ``widen``
+    matters beyond parallelism here: AQE can only split a skewed
+    reduce partition along MAPPER output boundaries, so a fact that
+    scans as one map task is unsplittable no matter how skewed — at
+    100 TB the fact always has thousands of mappers, and widening
+    reproduces that precondition locally."""
+    li = load_table(spark, sf_dir, "lineitem", widen=True)
+    return li.withColumn(
+        "k",
+        F.when(F.col("l_orderkey") % HOT_KEY_MOD != 0, F.lit(1)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+
+
+AQE_SKEW_CONFS = {
+    # force the shuffle-join shape skew splitting exists to protect,
+    # and scope the size thresholds down so the SAME OptimizeSkewedJoin
+    # rule fires on a toy fixture as would at 100 TB (defaults: 256 MB
+    # threshold — never reached locally)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    # the query aggregates after the join, and the agg's distribution
+    # requirement would otherwise veto the split (splitting breaks the
+    # join output's hash partitioning, costing an extra shuffle);
+    # this conf tells AQE to take that trade — the right call whenever
+    # the hot partition dominates the stage, which is the premise here
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+
+@query(
+    "skew_aqe_join",
+    oracle=f"""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % {HOT_KEY_MOD} <> 0 THEN 1 ELSE l_orderkey END AS k,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM fact JOIN orders ON k = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def skew_aqe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AQE-native answer to the hot key ``skew_salted_join``
+    handles manually: join the hot-key fact (``skewed_fact``: one
+    orderkey carrying ~75% of rows) to orders and let AQE's
+    OptimizeSkewedJoin split the oversized reduce partition into
+    mapper-range chunks at runtime, replicating the matching build
+    rows per chunk — no salt column, no build-side explosion, and the
+    result is identical to the plain join (the oracle).
+
+    The skew SPLIT is an execution-time decision made from live map
+    statistics, so it appears under the AQE_SKEW_CONFS window —
+    tests/test_plan_shapes.py asserts ``SortMergeJoin(skew=true)`` in
+    the AQE final plan, and tools/skew_bench.py records naive vs AQE
+    vs salted wall times (BASELINE.md). Without the window the query
+    simply runs the statistics-chosen join — correctness never
+    depends on the skew path taken. The load-bearing precondition is
+    in ``skewed_fact``'s docstring: splitting happens on mapper
+    boundaries, so the fact side must have >1 map output — true by
+    construction at scale, arranged via ``widen`` locally."""
+    fact = skewed_fact(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        fact.join(o, fact["k"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
 SESSION_GAP = "60 minutes"
 _GAP_MS = 60 * 60 * 1000
 

@@ -68,6 +68,24 @@ def exchange_count(df: DataFrame) -> int:
     )
 
 
+def executed_plan_string(df: DataFrame) -> str:
+    """The AQE FINAL plan as text: runs the frame once (discarding
+    rows executor-side) so adaptive decisions — skew-join splits,
+    partition coalescing, runtime join demotions — are materialized,
+    then renders the executed plan. ``plan_string`` shows the static
+    plan; execution-time properties live only here."""
+    df.foreachPartition(lambda it: None)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def aqe_skew_join_applied(df: DataFrame) -> bool:
+    """True iff AQE's OptimizeSkewedJoin actually split a partition
+    for this frame (``SortMergeJoin(skew=true)`` / ``skewed`` shuffle
+    reads in the final plan)."""
+    plan = executed_plan_string(df)
+    return "skew=true" in plan
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """How many whole-stage-codegen spans the plan compiled. AQE only
     finalizes (and codegen-annotates) the plan on execution, so this

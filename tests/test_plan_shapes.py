@@ -562,10 +562,14 @@ def test_rfm_windows_run_on_per_user_relation(spark):
 
 def test_stats_merge_two_level_partials(spark):
     """Parallel-variance maintenance: both aggregation levels combine
-    map-side; no join anywhere."""
+    map-side; the only join is the broadcast of the 7-row yearly-mean
+    relation back onto the monthly partials (the stable parallel-axis
+    form sums non-negative squared deviations instead of the
+    cancellation-prone moment expansion)."""
     df = _df(spark, "incremental_stats_merge")
     assert has_partial_aggregate(df)
-    assert not join_kinds(df)
+    kinds = join_kinds(df)
+    assert kinds and all("Broadcast" in k for k in kinds)
 
 
 def test_triangle_enumeration_is_equi_join_only(spark):
@@ -587,3 +591,27 @@ def test_semantic_prune_broadcasts_pivots(spark):
     index — Σ cell comparisons, never Σ cell²."""
     kinds = join_kinds(_df(spark, "semantic_prune"))
     assert kinds and all("Broadcast" in k for k in kinds)
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """Under the scoped skew-threshold window, AQE's OptimizeSkewedJoin
+    must actually SPLIT the hot partition of the skewed fact join —
+    ``SortMergeJoin(skew=true)`` in the final plan. This is the
+    runtime complement to the manual ``skew_salted_join``: same hot
+    key, zero salt plumbing. The fixture precondition (fact side
+    widened to >1 mapper — split units are mapper ranges) is the
+    100 TB-relevant lesson, documented on ``skewed_fact``."""
+    from sfdc_cdc_aws_spark.operators.relational2 import AQE_SKEW_CONFS
+    from sfdc_cdc_aws_spark.plans.introspect import aqe_skew_join_applied
+
+    saved = {k: spark.conf.get(k) for k in AQE_SKEW_CONFS}
+    try:
+        for k, v in AQE_SKEW_CONFS.items():
+            spark.conf.set(k, v)
+        df = _df(spark, "skew_aqe_join")
+        assert aqe_skew_join_applied(df), (
+            "OptimizeSkewedJoin did not split the hot partition"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
