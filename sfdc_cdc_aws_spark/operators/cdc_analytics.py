@@ -710,3 +710,79 @@ def scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from_ms",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal probe join: every probe row carries its own AS-OF timestamp
+# ---------------------------------------------------------------------------
+
+PROBE_MOD = 17  # deterministic probe sample: event_id % PROBE_MOD == 3
+
+
+@query(
+    "scd2_temporal_probe_join",
+    oracle=f"""
+WITH {CHANGES_CTE},
+hist AS (
+  SELECT entity_name, uid, change_type AS uind,
+         commit_ts_ms AS valid_from_ms,
+         lead(commit_ts_ms) OVER w AS valid_to_ms
+  FROM changes
+  WINDOW w AS (PARTITION BY entity_name, uid
+               ORDER BY commit_ts_ms, replay_id)
+),
+probes AS (
+  SELECT event_id AS probe_id, event_type AS entity_name,
+         user_id AS uid, epoch_ms(ts) AS probe_ms
+  FROM events WHERE event_id % {PROBE_MOD} = 3
+)
+SELECT p.probe_id, p.entity_name, p.uid, p.probe_ms,
+       h.uind, h.valid_from_ms
+FROM probes p
+JOIN hist h
+  ON h.entity_name = p.entity_name AND h.uid = p.uid
+ AND h.valid_from_ms <= p.probe_ms
+ AND (h.valid_to_ms IS NULL OR h.valid_to_ms > p.probe_ms)
+""",
+)
+def scd2_temporal_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-interval) join: a probe relation where EVERY
+    row has its own as-of timestamp, joined to the SCD2 history on
+    key equality + interval containment — "what did each record look
+    like at the moment this event touched it?". This is the lookup
+    shape `scd2_time_travel` (one global constant timestamp) cannot
+    express, and the batch analog of a stream-side enrichment against
+    a versioned dimension.
+
+    Plan: the join condition leads with the EQUI pair
+    (entity_name, uid), so Catalyst plans a hash/sort-merge join
+    shuffled on the key with the interval predicate applied as the
+    join residual — never a broadcast-nested-loop or cartesian. At
+    100 TB both sides shuffle once on the same key; each key's probe
+    rows meet only that key's few versions (interval containment
+    selects at most one). DELETE versions are kept: a probe landing
+    inside a tombstone's interval reports the key AS deleted — the
+    honest read of the lake at that instant."""
+    probes = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % PROBE_MOD == 3
+    ).select(
+        F.col("event_id").alias("probe_id"),
+        F.col("event_type").alias("entity_name"),
+        F.col("user_id").alias("uid"),
+        F.unix_millis("ts").alias("probe_ms"),
+    )
+    hist = scd2_history(spark, sf_dir)
+    cond = (
+        (hist["entity_name"] == probes["entity_name"])
+        & (hist["uid"] == probes["uid"])
+        & (hist["valid_from_ms"] <= probes["probe_ms"])
+        & (hist["valid_to_ms"].isNull() | (hist["valid_to_ms"] > probes["probe_ms"]))
+    )
+    return probes.join(hist, cond, "inner").select(
+        "probe_id",
+        probes["entity_name"].alias("entity_name"),
+        probes["uid"].alias("uid"),
+        "probe_ms",
+        "uind",
+        "valid_from_ms",
+    )

@@ -16,7 +16,7 @@ conversion; both floor)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sfdc_cdc_aws_spark.registry import query
@@ -236,4 +236,97 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f_tile").cast("string"),
             F.col("m_tile").cast("string"),
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-based rolling window + anomaly scoring
+# ---------------------------------------------------------------------------
+
+ROLLING_MS = 7 * 24 * 3600 * 1000  # trailing 7 days
+
+
+@query(
+    "rolling_7d_user_value",
+    oracle=f"""
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       round(sum(value) OVER w, 6) AS value_7d,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN {ROLLING_MS} PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day per-user rolling metrics — the TIME-based RANGE
+    frame (`range_window_frame` is the value-based one; this is the
+    telemetry shape: "activity in the last week as of each event").
+    The frame is defined on the event-time axis, so rows with equal
+    timestamps share a frame in both engines regardless of secondary
+    order — RANGE peers make the result order-insensitive where a
+    ROWS frame would be tie-ambiguous.
+
+    Plan: one shuffle on user_id; within each partition the frame is
+    a sort + two-pointer sliding aggregate (Spark's bounded-preceding
+    RANGE frame never rescans the partition). At 100 TB the shuffle
+    carries (user, ts, value) only — the projection is pruned to the
+    frame inputs before the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_ms = F.unix_millis("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_ms)
+        .rangeBetween(-ROLLING_MS, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_ms.alias("ts_ms"),
+        F.round(F.sum("value").over(w), 6).alias("value_7d"),
+        F.count("*").over(w).alias("n_7d"),
+    )
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+@query(
+    "zscore_outliers",
+    oracle=f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - s.mu) / s.sigma, 6) AS z,
+       abs(round((e.value - s.mu) / s.sigma, 6)) > {ZSCORE_THRESHOLD}
+         AS is_outlier
+FROM events e JOIN stats s USING (event_type)
+""",
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly scoring: every event scored against
+    its type's mean/stddev — the monitoring primitive behind "this
+    entity's change volume looks wrong" alerts. The outlier flag
+    compares the ROUNDED z so the boolean is a pure function of the
+    hashed column (no cross-engine boundary flicker at |z| ~ 3).
+
+    Plan: the stats relation is one map-side-combinable aggregate
+    (avg/stddev partials), then a BROADCAST join back onto the scan —
+    scoring 100 TB of events costs one pass and zero fact-side
+    shuffles. A window over event_type would shuffle-and-sort every
+    event for the same answer."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            z.alias("z"),
+            (F.abs(z) > ZSCORE_THRESHOLD).alias("is_outlier"),
+        )
     )
