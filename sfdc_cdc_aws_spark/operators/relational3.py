@@ -293,3 +293,54 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("out_rows") / F.col("total_rows"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile bucketize: value-based feature binning against exact quartiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_bucketize",
+    oracle="""
+WITH q AS (
+  SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1,
+         percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS q2,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3
+  FROM orders
+)
+SELECT o.o_orderkey,
+       CAST(1 + (o.o_totalprice > q.q1)::INT + (o.o_totalprice > q.q2)::INT
+              + (o.o_totalprice > q.q3)::INT AS INT) AS bucket
+FROM orders o CROSS JOIN q
+""",
+)
+def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based quartile binning (the exact-quantile
+    QuantileDiscretizer): every order assigned the bucket its total
+    price falls in, with boundaries computed from the data itself.
+    Unlike ``ntile`` — which splits by ROW COUNT and breaks ties
+    arbitrarily — value-based cut points give every equal value the
+    same bucket, which is what a feature pipeline needs for
+    reproducibility.
+
+    Plan: the boundary relation is ONE row (three interpolated
+    percentiles — Spark ``percentile`` ≡ DuckDB ``percentile_cont``,
+    parity proven by `quantile_suite`); it cross-joins back by
+    broadcast, so bucketing 100 TB of facts is one scan + one
+    one-row broadcast — no shuffle of the fact side at all."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.50).alias("q2"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("o_totalprice") > F.col("q1")).cast("int")
+        + (F.col("o_totalprice") > F.col("q2")).cast("int")
+        + (F.col("o_totalprice") > F.col("q3")).cast("int")
+    )
+    return o.crossJoin(F.broadcast(q)).select(
+        "o_orderkey", bucket.cast("int").alias("bucket")
+    )

@@ -615,3 +615,50 @@ def test_aqe_skew_join_split_engages(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """zscore_outliers: the per-type stats relation broadcasts back
+    onto the events scan — no fact-side shuffle for scoring."""
+    df = _df(spark, "zscore_outliers")
+    assert "BroadcastHashJoin" in join_kinds(df)
+    assert "CartesianProduct" not in join_kinds(df)
+    assert has_partial_aggregate(df)
+
+
+def test_temporal_probe_join_is_equi_not_nested_loop(spark):
+    """scd2_temporal_probe_join: the interval predicate must ride an
+    EQUI join on (entity, uid) as a residual — never a
+    broadcast-nested-loop or cartesian over probes x versions."""
+    df = _df(spark, "scd2_temporal_probe_join")
+    kinds = join_kinds(df)
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastHashJoin" in kinds or "SortMergeJoin" in kinds
+
+
+def test_sweepline_prefix_sum_is_two_level(spark):
+    """concurrency_sweepline: the running sum must decompose into
+    day-partitioned windows + a tiny day-offset broadcast — the
+    data-proportional relation never sorts in a single partition
+    (the day-level window does, but it's calendar-sized)."""
+    df = _df(spark, "concurrency_sweepline")
+    assert "BroadcastHashJoin" in join_kinds(df)
+    assert has_partial_aggregate(df)
+
+
+def test_quantile_bucketize_one_row_broadcast(spark):
+    """quantile_bucketize: the three-boundary relation joins back by
+    broadcast; the orders side never shuffles."""
+    df = _df(spark, "quantile_bucketize")
+    kinds = join_kinds(df)
+    assert "BroadcastNestedLoopJoin" in kinds or "BroadcastHashJoin" in kinds
+    assert "CartesianProduct" not in kinds
+
+
+def test_rolling_window_prunes_frame_inputs(spark):
+    """rolling_7d_user_value: the events scan reads only the frame
+    inputs (event_id/user_id/ts/value)."""
+    df = _df(spark, "rolling_7d_user_value")
+    schemas = read_schemas(df)
+    assert schemas and all("props" not in s and "event_type" not in s for s in schemas)
