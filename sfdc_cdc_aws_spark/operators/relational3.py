@@ -344,3 +344,44 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.crossJoin(F.broadcast(q)).select(
         "o_orderkey", bucket.cast("int").alias("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lateral_join_topn",
+    oracle="""
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+     LATERAL (SELECT c_name, c_acctbal FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+""",
+)
+def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join — per nation, its two richest
+    customers via a correlated subquery in the FROM clause. The ANSI
+    LATERAL surface is the point: Catalyst DECORRELATES the per-row
+    subquery into one window-rank over the customer side joined back
+    to nation (DecorrelateInnerQuery) — the same plan `topn_per_group`
+    builds by hand, proving the declarative form costs nothing.
+    Deterministic tie-break (c_acctbal DESC, c_name) pins the LIMIT 2
+    cut across engines.
+
+    Plan: no per-nation re-execution survives optimization — one
+    shuffle of customers on nationkey, rank, filter, broadcast-join
+    the 25-row nation dim."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lat_v n,
+             LATERAL (SELECT c_name, c_acctbal FROM customer_lat_v c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """
+    )

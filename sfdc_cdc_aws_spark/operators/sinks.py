@@ -331,3 +331,70 @@ def multi_format_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     csv = spark.read.schema(schema).option("header", "true").csv(paths["csv"])
     orc = spark.read.schema(schema).orc(paths["orc"])
     return agg(csv, "csv").unionByName(agg(orc, "orc"))
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource writer: the Firehose PUT-batch sink, round-tripped
+# ---------------------------------------------------------------------------
+
+PYDS_SLICE_MOD = 13  # bounded wire slice: replay_id % PYDS_SLICE_MOD == 0
+
+
+@query(
+    "pyds_sink_roundtrip",
+    oracle=f"""
+SELECT event_id AS replay_id,
+       event_type AS partition_key,
+       CASE WHEN event_id % 5 = 0 THEN 2 ELSE 1 END AS n_ids,
+       CASE WHEN event_id % 15 = 0 THEN 'UNDELETE'
+            WHEN event_id % 3 = 0 THEN 'CREATE'
+            WHEN event_id % 3 = 1 THEN 'UPDATE'
+            ELSE 'DELETE' END AS change_type
+FROM events WHERE event_id % {PYDS_SLICE_MOD} = 0
+""",
+)
+def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-connector WRITE path, proven lossless: a bounded
+    wire slice goes out through ``df.write.format("cdc_wire")`` — the
+    Python DataSource writer whose executor `write` stages Firehose
+    PUT batches and whose driver `commit` publishes them atomically
+    (sources/live.py `_WireBatchWriter`; the reference's
+    KinesisExample.java:137-148 producer + worker/template.yaml
+    Firehose delivery) — and comes back in through the same source's
+    batch READER; the decoded envelopes must reproduce the slice's
+    header fields exactly. This closes the connector story: offsets
+    and reauth on the read side (test_live_edges), two-phase commit
+    on the write side, both ends of ``format("cdc_wire")``.
+
+    The slice is bounded by construction (1/{PYDS_SLICE_MOD} of the
+    feed) and the PUT cap applies per batch, not per job — the writer
+    scales by partition count, each executor staging independently;
+    only the rename loop in commit is driver-side, O(files) not
+    O(records)."""
+    import uuid as _uuid
+
+    from sfdc_cdc_aws_spark.sources.cdc_feed import ENVELOPE_SCHEMA, envelopes
+    from sfdc_cdc_aws_spark.sources.live import register_cdc_wire
+
+    register_cdc_wire(spark)
+    out = f"/tmp/sfdc_pyds_sink/{_uuid.uuid4().hex[:8]}"
+    os.makedirs(out, exist_ok=True)
+    env = envelopes(spark, sf_dir)
+    slice_df = env.where(
+        F.col("envelope.event.replayId") % PYDS_SLICE_MOD == 0
+    ).select(F.col("partition_key").alias("partitionKey"), F.col("wire").alias("data"))
+    slice_df.write.format("cdc_wire").mode("append").option("path", out).save()
+
+    back = spark.read.format("cdc_wire").option("path", out).load()
+    parsed = F.from_json(
+        F.expr("try_to_binary(data, 'base64')").cast("string"), ENVELOPE_SCHEMA
+    )
+    h = parsed["payload"]["ChangeEventHeader"]
+    result = back.select(
+        F.col("replay_id"),
+        F.col("partitionKey").alias("partition_key"),
+        F.size(h["recordIds"]).alias("n_ids"),
+        h["changeType"].alias("change_type"),
+    ).localCheckpoint()  # detach from the landing dir before removing it
+    shutil.rmtree(out, ignore_errors=True)
+    return result

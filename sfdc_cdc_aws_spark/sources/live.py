@@ -85,11 +85,24 @@ def _scan_landing(path: str) -> list[tuple[int, str, str]]:
 
 
 try:  # the Python DataSource API needs pyspark >= 4
+    from dataclasses import dataclass
+
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         SimpleDataSourceStreamReader,
+        WriterCommitMessage,
     )
+
+    @dataclass
+    class _WireCommit(WriterCommitMessage):
+        """Per-partition commit message: the staged file plus the PUT
+        accounting (picklable — it travels executor → driver)."""
+
+        staged: str
+        records: int
+        put_batches: int
 
     class _WireBatchReader(DataSourceReader):
         def __init__(self, options):
@@ -152,9 +165,89 @@ try:  # the Python DataSource API needs pyspark >= 4
                 if start["replay_id"] < r[0] <= end["replay_id"]
             )
 
+    FIREHOSE_PUT_CAP = 500  # records per PutRecordBatch (the service limit)
+
+    class _WireBatchWriter(DataSourceWriter):
+        """The Firehose-analog sink (KinesisExample.java:137-148 /
+        worker/template.yaml:101-113) as a Python DataSource WRITER
+        with the API's full two-phase commit:
+
+        - executors stage their partition's records under
+          ``<path>/_staged/`` in PUT batches of at most
+          ``put_batch_size`` (defaults to Firehose's 500-record
+          PutRecordBatch cap — the seam where a real client's
+          ``firehose.put_record_batch`` call goes);
+        - the driver's ``commit`` renames every staged file into the
+          landing dir and only then drops the ``_SUCCESS`` marker —
+          readers (``_scan_landing`` keys on ``.json``) never observe
+          a torn write because staged files don't match the reader's
+          suffix;
+        - ``abort`` deletes the stage, leaving the landing dir
+          untouched — a failed job publishes nothing.
+        """
+
+        def __init__(self, options, overwrite: bool):
+            self.path = options["path"]
+            self.put_cap = int(options.get("put_batch_size", FIREHOSE_PUT_CAP))
+            self.overwrite = overwrite
+
+        def write(self, iterator) -> "_WireCommit":
+            import uuid as _uuid
+
+            staged_dir = os.path.join(self.path, "_staged")
+            os.makedirs(staged_dir, exist_ok=True)
+            fname = os.path.join(staged_dir, f"{_uuid.uuid4().hex}.staged")
+            records = 0
+            puts = 0
+            with open(fname, "w") as f:
+                batch: list[str] = []
+
+                def flush() -> None:
+                    nonlocal puts
+                    # a real client ships `batch` via PutRecordBatch
+                    # here; the sandbox stand-in appends the same
+                    # payload to the staged file
+                    f.write("".join(batch))
+                    puts += 1
+                    batch.clear()
+
+                for row in iterator:
+                    batch.append(
+                        json.dumps(
+                            {"partitionKey": row.partitionKey, "data": row.data}
+                        )
+                        + "\n"
+                    )
+                    records += 1
+                    if len(batch) >= self.put_cap:
+                        flush()
+                if batch:
+                    flush()
+            return _WireCommit(staged=fname, records=records, put_batches=puts)
+
+        def commit(self, messages) -> None:
+            import shutil as _shutil
+
+            if self.overwrite:
+                for old in os.listdir(self.path):
+                    if old.endswith(".json"):
+                        os.remove(os.path.join(self.path, old))
+            for i, m in enumerate(messages):
+                os.replace(m.staged, os.path.join(self.path, f"put-{i:05d}.json"))
+            with open(os.path.join(self.path, "_SUCCESS"), "w"):
+                pass
+            _shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+
+        def abort(self, messages) -> None:
+            import shutil as _shutil
+
+            _shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+
     class CDCWireDataSource(DataSource):
         """``spark.read/readStream.format("cdc_wire")`` source for the
-        Kinesis-shaped wire records, with replayId-based resume."""
+        Kinesis-shaped wire records, with replayId-based resume —
+        and ``df.write.format("cdc_wire")`` sink with the Firehose
+        PUT-batch shape."""
 
         @classmethod
         def name(cls) -> str:
@@ -168,6 +261,9 @@ try:  # the Python DataSource API needs pyspark >= 4
 
         def simpleStreamReader(self, schema):
             return _WireStreamReader(self.options)
+
+        def writer(self, schema, overwrite: bool):
+            return _WireBatchWriter(self.options, overwrite)
 
     HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - older pyspark

@@ -366,6 +366,40 @@ def cdc_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_stream_sliding",
+    oracle=None,  # set below from the shared CHANGES_CTE
+)
+def cdc_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SLIDING windows on the stream: 120 s windows every
+    60 s, so each change lands in exactly TWO overlapping windows —
+    the smoothing shape monitoring dashboards want (tumbling counts
+    jitter at the boundary; a 2x-overlap hop averages it out).
+    Overlap is the semantics under test: Spark assigns each row to
+    width/slide windows inside the stateful aggregate (state and
+    emitted rows scale with the overlap factor — the real cost of
+    smoothing, visible here as ~2x `cdc_stream_tumbling`'s output);
+    the batch oracle replays the same assignment by unioning the two
+    phase-shifted bucketings."""
+    landing = ensure_landing(spark, sf_dir)
+    wire = spark.readStream.schema(WIRE_SCHEMA).json(landing)
+    agg = (
+        parse_wire(wire)
+        .withWatermark("commit_ts", "24 hours")
+        .groupBy(
+            "entity_name",
+            F.window("commit_ts", "120 seconds", "60 seconds").alias("w"),
+        )
+        .agg(F.count("*").alias("n_changes"))
+        .select(
+            "entity_name",
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "n_changes",
+        )
+    )
+    return run_available_now(agg, "cdc_sliding", output_mode="complete")
+
+
+@query(
     "cdc_stream_session",
     oracle=None,  # set below from the shared CHANGES_CTE
 )
@@ -556,6 +590,20 @@ SELECT entity_name,
        commit_ts_ms - commit_ts_ms % 60000 AS window_start_ms,
        count(*) AS n_changes
 FROM changes GROUP BY 1, 2
+""",
+    )
+    QUERIES["cdc_stream_sliding"] = replace(
+        QUERIES["cdc_stream_sliding"],
+        oracle=f"""
+WITH {CHANGES_CTE},
+assigned AS (
+  SELECT entity_name,
+         commit_ts_ms - commit_ts_ms % 60000 - off.o AS window_start_ms
+  FROM changes
+  CROSS JOIN (SELECT unnest([0, 60000]) AS o) off
+)
+SELECT entity_name, window_start_ms, count(*) AS n_changes
+FROM assigned GROUP BY 1, 2
 """,
     )
     QUERIES["cdc_incremental_merge"] = replace(

@@ -3,6 +3,8 @@ the batched mapInPandas lookup client."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -236,3 +238,76 @@ def test_reauth_resumes_from_stored_replay_id(spark):
     bad = _WireStreamReader({"path": landing, "token_provider": "test_bad"})
     with pytest.raises(AuthError):
         bad.read(bad.initialOffset())
+
+
+# ---------------------------------------------------------------------------
+# writer half of the DataSource: two-phase commit semantics
+# ---------------------------------------------------------------------------
+
+
+def _wire_slice(spark, sf_dir, mod=13):
+    from pyspark.sql import functions as F
+
+    from sfdc_cdc_aws_spark.sources.cdc_feed import envelopes
+
+    return envelopes(spark, sf_dir).where(
+        F.col("envelope.event.replayId") % mod == 0
+    ).select(
+        F.col("partition_key").alias("partitionKey"), F.col("wire").alias("data")
+    )
+
+
+def test_writer_append_then_read_back(spark, sf_dir, tmp_path):
+    from sfdc_cdc_aws_spark.sources.live import register_cdc_wire
+
+    register_cdc_wire(spark)
+    out = str(tmp_path / "landing")
+    os.makedirs(out)
+    sl = _wire_slice(spark, sf_dir)
+    n = sl.count()
+    sl.write.format("cdc_wire").mode("append").option("path", out).save()
+    # published: _SUCCESS present, no staged leftovers
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_staged"))
+    back = spark.read.format("cdc_wire").option("path", out).load()
+    assert back.count() == n
+
+
+def test_writer_overwrite_replaces_previous_publish(spark, sf_dir, tmp_path):
+    from sfdc_cdc_aws_spark.sources.live import register_cdc_wire
+
+    register_cdc_wire(spark)
+    out = str(tmp_path / "landing")
+    os.makedirs(out)
+    _wire_slice(spark, sf_dir, mod=13).write.format("cdc_wire").mode("append").option(
+        "path", out
+    ).save()
+    smaller = _wire_slice(spark, sf_dir, mod=26)
+    n2 = smaller.count()
+    smaller.write.format("cdc_wire").mode("overwrite").option("path", out).save()
+    back = spark.read.format("cdc_wire").option("path", out).load()
+    assert back.count() == n2
+
+
+def test_writer_put_batch_cap_respected(spark, sf_dir, tmp_path):
+    """With put_batch_size=7 every staged PUT batch holds <=7 records;
+    the commit message accounting must add up (ceil per partition)."""
+    from sfdc_cdc_aws_spark.sources.live import _WireBatchWriter
+
+    class Row:
+        def __init__(self, i):
+            self.partitionKey = f"pk{i % 3}"
+            self.data = f"d{i}"
+
+    out = str(tmp_path / "landing")
+    os.makedirs(out)
+    w = _WireBatchWriter({"path": out, "put_batch_size": "7"}, overwrite=False)
+    msg = w.write(iter([Row(i) for i in range(23)]))
+    assert msg.records == 23
+    assert msg.put_batches == 4  # ceil(23/7)
+    # staged only — a reader scanning now must see NOTHING published
+    from sfdc_cdc_aws_spark.sources.live import _scan_landing
+
+    assert _scan_landing(out) == []
+    w.abort([msg])
+    assert not os.path.exists(os.path.join(out, "_staged"))
