@@ -385,3 +385,45 @@ def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# recursive CTE: bounded BFS over an edge list
+# ---------------------------------------------------------------------------
+
+_BFS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) % 500 AS dst
+  FROM {events} WHERE value IS NOT NULL
+),
+walk(node, dist) AS (
+  SELECT DISTINCT src AS node, 0 AS dist FROM edges WHERE src % 97 = 0
+  UNION ALL
+  SELECT e.dst AS node, w.dist + 1 AS dist
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < 3
+)
+SELECT node, CAST(min(dist) AS INT) AS hops FROM walk GROUP BY node
+"""
+
+
+@query("recursive_bfs_hops", oracle=_BFS_SQL.format(events="events"))
+def recursive_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS via ANSI ``WITH RECURSIVE`` (Spark 4's recursive
+    CTE support): hop distance from seed nodes over a derived edge
+    list, depth-capped at 3 — the reachability shape (lineage walks,
+    referral chains) that previously forced a driver-side loop like
+    `dedup_clusters`' Pregel iteration. The IDENTICAL SQL text runs
+    on both engines; min-dist is aggregated OUTSIDE the recursion
+    (recursive terms can't aggregate), and the depth bound caps the
+    UNION ALL frontier, which otherwise re-expands every path.
+
+    Scale note: each recursion step is a plain equi-join of the
+    frontier against the edge list — shuffle-partitioned like any
+    join; the depth cap (not engine magic) is what bounds work, the
+    same discipline the iterative operators apply explicitly.
+    `dedup_clusters` remains the scale path for full transitive
+    closure (its frontier CONTRACTS via min-label convergence);
+    recursion is the declarative tool for short bounded walks."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_bfs_v")
+    return spark.sql(_BFS_SQL.format(events="events_bfs_v"))
