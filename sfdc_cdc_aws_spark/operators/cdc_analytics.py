@@ -786,3 +786,61 @@ def scd2_temporal_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uind",
         "valid_from_ms",
     )
+
+
+# ---------------------------------------------------------------------------
+# golden-record fusion: survivorship rules over match groups
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "golden_record_fusion",
+    oracle="""
+WITH keyed AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         substr(c_name, 1, length(c_name) - 2) AS blk
+  FROM customer
+)
+SELECT c_nationkey, blk,
+       min(c_custkey) AS survivor_id,
+       CAST(count(*) AS INT) AS n_members,
+       min_by(c_name, c_custkey) AS survivor_name,
+       round(max(c_acctbal), 6) AS best_acctbal,
+       min(c_mktsegment) AS segment_vote
+FROM keyed
+GROUP BY c_nationkey, blk
+HAVING count(*) > 1
+""",
+)
+def golden_record_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after entity matching: fuse each match group into ONE
+    golden record under explicit survivorship rules — lowest key
+    survives (stable id), its name carries (``min_by`` ties the
+    attribute to the SURVIVOR, not the alphabet), the best balance is
+    taken across members, and the categorical field resolves by a
+    deterministic vote. `lsh_survivor_pick` elects a survivor ROW;
+    this is the attribute-level MDM merge where different columns
+    come from different members. Groups reuse `fuzzy_entity_match`'s
+    (nation, name-prefix) blocking key, so the two queries describe
+    the same duplicate space: one scores the pairs, one publishes
+    the merged dimension.
+
+    Plan: one map-side-combinable aggregate over the blocking key —
+    min/max/min_by/count all carry constant-size partials, so fusing
+    a 100 TB dimension shuffles |groups| rows, and the HAVING
+    group-size gate runs post-agg where it belongs."""
+    c = load_table(spark, sf_dir, "customer")
+    blk = F.expr("substr(c_name, 1, length(c_name) - 2)")
+    return (
+        c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+                 blk.alias("blk"))
+        .groupBy("c_nationkey", "blk")
+        .agg(
+            F.min("c_custkey").alias("survivor_id"),
+            F.count("*").cast("int").alias("n_members"),
+            F.min_by("c_name", "c_custkey").alias("survivor_name"),
+            F.round(F.max("c_acctbal"), 6).alias("best_acctbal"),
+            F.min("c_mktsegment").alias("segment_vote"),
+        )
+        .where(F.col("n_members") > 1)
+    )

@@ -399,7 +399,7 @@ WITH RECURSIVE edges AS (
 walk(node, dist) AS (
   SELECT DISTINCT src AS node, 0 AS dist FROM edges WHERE src % 97 = 0
   UNION ALL
-  SELECT e.dst AS node, w.dist + 1 AS dist
+  SELECT DISTINCT e.dst AS node, w.dist + 1 AS dist
   FROM walk w JOIN edges e ON e.src = w.node
   WHERE w.dist < 3
 )
@@ -415,8 +415,12 @@ def recursive_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     referral chains) that previously forced a driver-side loop like
     `dedup_clusters`' Pregel iteration. The IDENTICAL SQL text runs
     on both engines; min-dist is aggregated OUTSIDE the recursion
-    (recursive terms can't aggregate), and the depth bound caps the
-    UNION ALL frontier, which otherwise re-expands every path.
+    (recursive terms can't aggregate), and each step SELECTs DISTINCT
+    (node, dist) so the frontier is bounded by the NODE count per
+    level — without it the recursion materializes every PATH, which
+    multiplies by the out-degree each hop and tripped Spark's
+    RECURSION_ROW_LIMIT (1M rows) at sf0.1 while passing at sf0.01:
+    the textbook example of a plan that only breaks at scale.
 
     Scale note: each recursion step is a plain equi-join of the
     frontier against the edge list — shuffle-partitioned like any
