@@ -844,3 +844,76 @@ def golden_record_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_members") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# replay-offset continuity audit: islands counted without a global sort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "replay_gap_report",
+    oracle=f"""
+WITH {CHANGES_CTE},
+per AS (SELECT DISTINCT change_type, replay_id FROM changes),
+stats AS (
+  SELECT change_type, min(replay_id) AS lo, max(replay_id) AS hi,
+         count(*) AS n_offsets
+  FROM per GROUP BY change_type
+),
+islands AS (
+  SELECT a.change_type, count(*) AS n_islands
+  FROM per a LEFT JOIN per b
+    ON b.change_type = a.change_type AND b.replay_id = a.replay_id + 1
+  WHERE b.replay_id IS NULL
+  GROUP BY a.change_type
+)
+SELECT s.change_type, s.n_offsets, s.hi - s.lo + 1 AS span,
+       s.hi - s.lo + 1 - s.n_offsets AS n_missing, i.n_islands
+FROM stats s JOIN islands i USING (change_type)
+""",
+)
+def replay_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-continuity audit — the replay-loss question the
+    reference's replay map exists to answer (ReplayExtension.java:
+    31-50): per change type, how many offsets arrived, what span they
+    cover, how many are missing, and how many contiguous ISLANDS they
+    form. An island count of 1 with n_missing 0 is a healthy shard;
+    anything else localizes drops.
+
+    The point is the PLAN: gaps-and-islands is usually written as
+    ``replay_id - row_number() OVER (ORDER BY replay_id)`` — a global
+    sort that serializes the offset axis through one task. Islands
+    are counted here WITHOUT any window: an offset r ends an island
+    iff r+1 is absent (probed by a self equi-join on (type, r+1) —
+    shuffle-parallel like any join), and #island-ends ≡ #islands.
+    min/max/count are map-side partials. Nothing orders the axis
+    globally, so the audit scales with the join, not a sort."""
+    ch = changes(spark, sf_dir)
+    per = ch.select("change_type", "replay_id").distinct()
+    stats = per.groupBy("change_type").agg(
+        F.min("replay_id").alias("lo"),
+        F.max("replay_id").alias("hi"),
+        F.count("*").alias("n_offsets"),
+    )
+    nxt = per.select(
+        F.col("change_type").alias("b_type"),
+        (F.col("replay_id")).alias("b_replay"),
+    )
+    ends = per.join(
+        nxt,
+        (F.col("b_type") == F.col("change_type"))
+        & (F.col("b_replay") == F.col("replay_id") + 1),
+        "left_anti",
+    )
+    islands = ends.groupBy("change_type").agg(F.count("*").alias("n_islands"))
+    return (
+        stats.join(islands, "change_type")
+        .select(
+            "change_type",
+            "n_offsets",
+            (F.col("hi") - F.col("lo") + 1).alias("span"),
+            (F.col("hi") - F.col("lo") + 1 - F.col("n_offsets")).alias("n_missing"),
+            "n_islands",
+        )
+    )

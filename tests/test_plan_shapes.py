@@ -662,3 +662,16 @@ def test_rolling_window_prunes_frame_inputs(spark):
     df = _df(spark, "rolling_7d_user_value")
     schemas = read_schemas(df)
     assert schemas and all("props" not in s and "event_type" not in s for s in schemas)
+
+
+def test_replay_gap_report_counts_islands_without_a_window(spark):
+    """The gaps-and-islands audit must NOT contain a Window (the
+    row_number() formulation's global sort); islands come from a
+    shuffle-parallel anti-join."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    df = _df(spark, "replay_gap_report")
+    plan = plan_string(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in join_kinds(df)
+    assert has_partial_aggregate(df)
