@@ -63,6 +63,26 @@ def register_token_provider(
     _TOKEN_PROVIDERS[name] = (provider, validator or (lambda _t: True))
 
 
+def _scan_file(fpath: str) -> list[tuple[int, str, str]]:
+    """Wire records of ONE landing file → sorted
+    [(replay_id, partitionKey, data)] — the per-task unit of the
+    partitioned batch reader."""
+    import base64
+
+    rows: list[tuple[int, str, str]] = []
+    with open(fpath) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            env = json.loads(base64.b64decode(rec["data"]))
+            rows.append(
+                (int(env["event"]["replayId"]), rec["partitionKey"], rec["data"])
+            )
+    rows.sort()
+    return rows
+
+
 def _scan_landing(path: str) -> list[tuple[int, str, str]]:
     """Read every wire record under the landing dir → sorted
     [(replay_id, partitionKey, data)]. Driver-side helper for the
@@ -71,15 +91,7 @@ def _scan_landing(path: str) -> list[tuple[int, str, str]]:
     for fname in sorted(os.listdir(path)):
         if not fname.endswith(".json"):
             continue
-        with open(os.path.join(path, fname)) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                rec = json.loads(line)
-                import base64
-
-                env = json.loads(base64.b64decode(rec["data"]))
-                rows.append((int(env["event"]["replayId"]), rec["partitionKey"], rec["data"]))
+        rows.extend(_scan_file(os.path.join(path, fname)))
     rows.sort()
     return rows
 
@@ -91,6 +103,7 @@ try:  # the Python DataSource API needs pyspark >= 4
         DataSource,
         DataSourceReader,
         DataSourceWriter,
+        InputPartition,
         SimpleDataSourceStreamReader,
         WriterCommitMessage,
     )
@@ -105,11 +118,30 @@ try:  # the Python DataSource API needs pyspark >= 4
         put_batches: int
 
     class _WireBatchReader(DataSourceReader):
+        """Batch read of the landing dir, ONE TASK PER FILE: the
+        ``partitions()`` half of the DataSource reader API — without
+        it every file funnels through a single task (the default lone
+        ``InputPartition(None)``), which is exactly the
+        single-consumer bottleneck the reference's one-subscriber
+        design has (KinesisExample.java:45). Files are the natural
+        split unit because the landing layout is range-partitioned by
+        replayId (streaming/job.py `ensure_landing`), so each task
+        reads a contiguous offset range."""
+
         def __init__(self, options):
             self.path = options["path"]
 
+        def partitions(self):
+            return [
+                InputPartition(os.path.join(self.path, f))
+                for f in sorted(os.listdir(self.path))
+                if f.endswith(".json")
+            ] or [InputPartition(None)]
+
         def read(self, partition):
-            for replay_id, pk, data in _scan_landing(self.path):
+            if partition.value is None:
+                return
+            for replay_id, pk, data in _scan_file(partition.value):
                 yield (replay_id, pk, data)
 
     class _WireStreamReader(SimpleDataSourceStreamReader):

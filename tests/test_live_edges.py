@@ -311,3 +311,21 @@ def test_writer_put_batch_cap_respected(spark, sf_dir, tmp_path):
     assert _scan_landing(out) == []
     w.abort([msg])
     assert not os.path.exists(os.path.join(out, "_staged"))
+
+
+def test_batch_reader_one_task_per_file(spark, sf_dir, tmp_path):
+    """partitions() must fan the batch read out one task per landing
+    file — the default single InputPartition(None) serializes the
+    whole dir through one task."""
+    from sfdc_cdc_aws_spark.sources.live import register_cdc_wire
+
+    register_cdc_wire(spark)
+    out = str(tmp_path / "landing")
+    os.makedirs(out)
+    _wire_slice(spark, sf_dir).repartition(4).write.format("cdc_wire").mode(
+        "append"
+    ).option("path", out).save()
+    n_files = len([f for f in os.listdir(out) if f.endswith(".json")])
+    assert n_files >= 2  # repartition(4) staged >=2 non-empty partitions
+    back = spark.read.format("cdc_wire").option("path", out).load()
+    assert back.rdd.getNumPartitions() == n_files
