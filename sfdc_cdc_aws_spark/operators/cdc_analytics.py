@@ -917,3 +917,59 @@ def replay_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_islands",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# map higher-order functions over the dynamic payload
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "map_fn_suite",
+    oracle="""
+SELECT event_id AS replay_id,
+       'props,value' AS keys_sorted,
+       2 AS n_entries,
+       value AS val_entry,
+       CAST(json_extract(props, '$.k') AS INT) AS props_k,
+       1 AS n_value_entries,
+       upper(props) AS props_upper
+FROM events WHERE event_id % 3 = 1
+""",
+)
+def map_fn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapType higher-order-function surface over the dynamic
+    payload (`map_payload_extract` does one scalar lookup; this is
+    the rest of the toolbox): ``map_keys`` + sort + join,
+    ``map_filter`` with a key lambda, ``transform_values``, size and
+    ``element_at``. The payload map is the engine's representation of
+    per-entity schemas unknown at compile time (SURVEY.md §1.3), so
+    these are the operations a generic consumer actually has — it
+    cannot name struct fields it doesn't know. The oracle recomputes
+    every output from the underlying columns from first principles
+    (the map's construction is known), so the HOFs are checked
+    against ground truth, not against themselves; the stringified
+    double goes back through a double cast, the one representation
+    that round-trips across engines (Java Double.toString ≠ DuckDB
+    VARCHAR cast).
+
+    Plan: every HOF here is a narrow per-row expression — no shuffle,
+    no UDF; at 100 TB this whole suite rides the scan."""
+    env = envelopes(spark, sf_dir)
+    h = F.col("envelope.payload.ChangeEventHeader")
+    m = F.col("envelope.payload.fields")
+    return env.where(h["changeType"] == "UPDATE").select(
+        F.col("envelope.event.replayId").alias("replay_id"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.size(m).alias("n_entries"),
+        F.element_at(m, "value").cast("double").alias("val_entry"),
+        F.get_json_object(F.element_at(m, "props"), "$.k")
+        .cast("int")
+        .alias("props_k"),
+        F.size(F.map_filter(m, lambda k, v: k == F.lit("value"))).alias(
+            "n_value_entries"
+        ),
+        F.element_at(
+            F.transform_values(m, lambda k, v: F.upper(v)), "props"
+        ).alias("props_upper"),
+    )

@@ -885,3 +885,92 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: precision/recall of the candidate generator
+# ---------------------------------------------------------------------------
+
+LSH_EVAL_JACCARD = 0.5  # "true near-duplicate" bar for the eval
+
+
+@query(
+    "lsh_eval_pr",
+    oracle=f"""
+WITH {_DUCK_LSH_PAIRS_CTE},
+jtoks AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS t FROM documents
+),
+jsh AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+             list_distinct(list_transform(generate_series(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS h
+  FROM jtoks WHERE len(t) >= 4
+),
+jsizes AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
+jinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM jsh a JOIN jsh b
+    ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM jinter i
+  JOIN jsizes s1 ON i.doc_a = s1.doc_id
+  JOIN jsizes s2 ON i.doc_b = s2.doc_id
+  WHERE CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common)
+        >= {LSH_EVAL_JACCARD}
+),
+cand AS (SELECT DISTINCT doc_a, doc_b FROM lsh_pairs),
+hit AS (SELECT c.doc_a FROM cand c JOIN truth t
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+SELECT (SELECT count(*) FROM cand) AS n_candidates,
+       (SELECT count(*) FROM truth) AS n_truth,
+       (SELECT count(*) FROM hit) AS n_hit,
+       round((SELECT count(*) FROM hit) * 1.0
+             / (SELECT count(*) FROM cand), 6) AS precision_at_bar,
+       round((SELECT count(*) FROM hit) * 1.0
+             / (SELECT count(*) FROM truth), 6) AS recall
+""",
+)
+def lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator quality, MEASURED: precision/recall of the
+    MinHash-LSH bucket pairs against exact n-gram Jaccard ≥
+    {LSH_EVAL_JACCARD} ground truth — the audit that must precede
+    trusting banded LSH on a 100 TB corpus, because band geometry
+    (here 4x4: P[collide] = 1-(1-j⁴)⁴ ≈ 0.22 at j=0.5) is a TUNABLE
+    whose miss rate is invisible until measured. Recall is the number
+    that decides whether to add bands; "precision" at the truth bar
+    is expectedly low (LSH admits medium-similarity pairs by design —
+    the exact verify pass downstream pays for each).
+
+    Plan: the two pair pipelines this engine already runs (banded
+    buckets; shingle inverted index) plus set intersection — three
+    aggregates to scalar counts broadcast into one row. Nothing here
+    exceeds the cost of the pipelines being audited."""
+    cand = (
+        minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    )
+    truth = (
+        ngram_jaccard_dedup(spark, sf_dir)
+        .where(F.col("jaccard") >= LSH_EVAL_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    hit = cand.join(truth, ["doc_a", "doc_b"], "inner")
+    counts = (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+    return counts.select(
+        "n_candidates",
+        "n_truth",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_candidates"), 6).alias(
+            "precision_at_bar"
+        ),
+        F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+    )
