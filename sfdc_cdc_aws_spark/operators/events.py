@@ -409,3 +409,60 @@ def concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("cum_in_day")).cast("bigint").alias("concurrent"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix: first-order behavioral Markov counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ms(ts), event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT prev_type, sum(n) AS row_n FROM counts GROUP BY 1)
+SELECT c.prev_type, c.next_type, c.n,
+       round(c.n * 1.0 / t.row_n, 6) AS p
+FROM counts c JOIN totals t USING (prev_type)
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix of user behavior: for every
+    consecutive event pair within a user's timeline, count
+    (prev_type → next_type) and normalize rows to probabilities — the
+    Markov-chain summary behind next-action prediction and anomaly
+    detection on CDC-derived activity streams. (event-time, event_id)
+    is the deterministic per-user total order.
+
+    Plan: ONE shuffle of (user, ts, type) for the lag window; the
+    transition counts then reduce to a |types|² relation with
+    map-side partials, and the row-normalizing join runs on that tiny
+    matrix (broadcast). The window partitions by user_id — millions
+    of independent partitions at scale, not a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_millis("ts"), "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = ordered.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return counts.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+    )

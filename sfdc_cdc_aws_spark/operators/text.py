@@ -902,3 +902,59 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split: duplicate groups never straddle train/val/test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         {DUCK_HASH64.format(expr="lower(trim(text))")} AS fingerprint
+  FROM documents
+),
+grouped AS (
+  SELECT doc_id, lang, fingerprint,
+         ({DUCK_HASH64.format(expr="'gsplit:' || CAST(fingerprint AS VARCHAR)")}) % 100
+           AS bucket
+  FROM fp
+)
+SELECT doc_id, lang, fingerprint,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM grouped
+""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed on the CONTENT-GROUP, not the
+    document: every doc hashes its normalized-text fingerprint
+    (`doc_fingerprint`'s key — all exact duplicates share it) and the
+    split bucket is a salted hash OF THAT GROUP KEY, so two copies of
+    the same text can never land in different splits. This closes the
+    evaluation-leakage hole `hash_split_assign` (doc_id-keyed) leaves
+    open: with duplicates in the corpus, a doc-keyed split puts a
+    training copy of a test document's text into train with
+    probability ~(1 - split share) per duplicate — group-keying makes
+    the leak structurally impossible, the same reason
+    decontamination (`decontaminate_anti`) keys on content.
+
+    Plan: fingerprint + bucket are narrow per-row expressions — the
+    split of a 100 TB corpus is a scan with NO shuffle at all (no
+    group-by is needed: equal text ⇒ equal fingerprint ⇒ equal
+    bucket, by construction)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = shared_hash64(F.lower(F.trim(F.col("text"))))
+    bucket = (
+        shared_hash64(F.concat(F.lit("gsplit:"), fp.cast("string"))) % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.select(
+        "doc_id", "lang", fp.alias("fingerprint"), split.alias("split")
+    )

@@ -22,6 +22,15 @@ against their UNCAPPED DuckDB oracles at that scale
   same centroid geometry (centroids stay vec_id < N_CENTROIDS, i.e.
   replica 0, so the index layout is unchanged while every cell holds
   ~Kx more members).
+- events: K replicas; replica r>0 shifts event_id by r*ID_STRIDE,
+  user_id by r*USER_STRIDE (new CDC keys — the +1M twin branch of
+  CHANGES_CTE stays collision-free because USER_STRIDE = 2M), and ts
+  by r*37 s (event times stay interleaved so windows/sessions/
+  sweep-line structures densify rather than shift away). This feeds
+  the CDC/temporal scale-stress keys: Kx more keys for the SCD2
+  window and temporal probe join, Kx more interval boundaries for
+  the sweep line, Kx more BFS seeds/edges for the recursive walk
+  (the key that ACTUALLY broke at 10x before per-step DISTINCT).
 - all other tables: symlinked from the base fixture so the derived dir
   is a complete sf_dir for load_table()/duckdb views.
 
@@ -45,6 +54,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 ID_STRIDE = 10_000_000
+USER_STRIDE = 2_000_000  # > the +1M twin-uid branch of CHANGES_CTE
 _WS = re.compile(r"\s+")
 
 
@@ -86,6 +96,20 @@ def derive_embeddings(base_dir: str, k: int) -> pa.Table:
     return pa.Table.from_pandas(out, schema=t.schema, preserve_index=False)
 
 
+def derive_events(base_dir: str, k: int) -> pa.Table:
+    t = pq.read_table(os.path.join(base_dir, "events.parquet"))
+    src = t.to_pandas()
+    reps = [src]
+    for r in range(1, k):
+        rep = src.copy()
+        rep["event_id"] = rep["event_id"] + r * ID_STRIDE
+        rep["user_id"] = rep["user_id"] + r * USER_STRIDE
+        rep["ts"] = rep["ts"] + pd.Timedelta(seconds=37 * r)
+        reps.append(rep)
+    out = pd.concat(reps, ignore_index=True)
+    return pa.Table.from_pandas(out, schema=t.schema, preserve_index=False)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
@@ -107,10 +131,12 @@ def main() -> None:
     )
     emb = derive_embeddings(args.base, args.k)
     pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+    ev = derive_events(args.base, args.k)
+    pq.write_table(ev, os.path.join(out, "events.parquet"))
 
     for name in (
         "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events",
+        "orders", "lineitem",
     ):
         link = os.path.join(out, f"{name}.parquet")
         if not os.path.exists(link):
@@ -118,7 +144,7 @@ def main() -> None:
 
     print(
         f"wrote {out}: documents={len(docs)} embeddings={emb.num_rows} "
-        f"(base {args.base} x{args.k})"
+        f"events={ev.num_rows} (base {args.base} x{args.k})"
     )
 
 

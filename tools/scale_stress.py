@@ -34,6 +34,13 @@ KEYS = (
     "lsh_survivor_pick",
     "ann_ivf_topk",
     "dedup_clusters",
+    # round-5 CDC/temporal keys over the Kx-derived events feed —
+    # recursive_bfs_hops is the one that genuinely broke at 10x
+    # before its per-step DISTINCT (RECURSION_ROW_LIMIT_EXCEEDED)
+    "recursive_bfs_hops",
+    "scd2_temporal_probe_join",
+    "concurrency_sweepline",
+    "replay_gap_report",
 )
 
 
