@@ -398,3 +398,69 @@ def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()  # detach from the landing dir before removing it
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@query(
+    "pyds_stream_sink_roundtrip",
+    oracle="""
+SELECT event_id AS replay_id,
+       event_type AS partition_key,
+       CASE WHEN event_id % 5 = 0 THEN 2 ELSE 1 END AS n_ids,
+       CASE WHEN event_id % 15 = 0 THEN 'UNDELETE'
+            WHEN event_id % 3 = 0 THEN 'CREATE'
+            WHEN event_id % 3 = 1 THEN 'UPDATE'
+            ELSE 'DELETE' END AS change_type
+FROM events
+""",
+)
+def pyds_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING corner of the custom connector, proven lossless:
+    the wire feed drains through ``writeStream.format("cdc_wire")`` —
+    the Python DataSourceStreamWriter whose driver commit publishes
+    each micro-batch under an epoch marker, making replayed batches
+    no-ops (sources/live.py `_WireStreamWriter`; the exactly-once
+    discipline `foreachBatch` sinks hand-roll, inside the writer API)
+    — then comes back through the partitioned batch reader and must
+    decode to the full feed's header fields. With
+    `pyds_sink_roundtrip` (batch write), the `cdc_wire` format now
+    exercises all four DataSource corners: batch read/write, stream
+    read (test_live_edges replay offsets), stream write."""
+    import uuid as _uuid
+
+    from sfdc_cdc_aws_spark.sources.cdc_feed import ENVELOPE_SCHEMA
+    from sfdc_cdc_aws_spark.sources.live import register_cdc_wire
+    from sfdc_cdc_aws_spark.streaming.job import WIRE_SCHEMA, ensure_landing
+
+    register_cdc_wire(spark)
+    landing = ensure_landing(spark, sf_dir)
+    run = _uuid.uuid4().hex[:8]
+    out = f"/tmp/sfdc_pyds_stream_sink/{run}/sink"
+    ckpt = f"/tmp/sfdc_pyds_stream_sink/{run}/ckpt"
+    os.makedirs(out)
+    wire = (
+        spark.readStream.schema(WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .json(landing)
+        .selectExpr("partitionKey", "data")
+    )
+    q = (
+        wire.writeStream.format("cdc_wire")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.format("cdc_wire").option("path", out).load()
+    parsed = F.from_json(
+        F.expr("try_to_binary(data, 'base64')").cast("string"), ENVELOPE_SCHEMA
+    )
+    h = parsed["payload"]["ChangeEventHeader"]
+    result = back.select(
+        F.col("replay_id"),
+        F.col("partitionKey").alias("partition_key"),
+        F.size(h["recordIds"]).alias("n_ids"),
+        h["changeType"].alias("change_type"),
+    ).localCheckpoint()  # detach before removing the sink dir
+    shutil.rmtree(f"/tmp/sfdc_pyds_stream_sink/{run}", ignore_errors=True)
+    return result

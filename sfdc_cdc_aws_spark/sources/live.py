@@ -102,6 +102,7 @@ try:  # the Python DataSource API needs pyspark >= 4
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamWriter,
         DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
@@ -275,11 +276,63 @@ try:  # the Python DataSource API needs pyspark >= 4
 
             _shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
 
+    class _WireStreamWriter(DataSourceStreamWriter):
+        """The streaming half of the Firehose sink: per micro-batch,
+        executors stage PUT batches exactly like the batch writer, and
+        the driver `commit(messages, batchId)` publishes them under
+        epoch-numbered names plus a ``_batch_<id>_COMMITTED`` marker.
+        Exactly-once composition: the marker is written BEFORE the
+        checkpoint advances, and a replayed batch (same batchId after
+        a crash between publish and checkpoint commit) finds its
+        marker, discards its re-staged files, and publishes nothing —
+        the idempotent-sink discipline `foreachBatch` sinks implement
+        by hand (streaming/merge.py), here inside the DataSource
+        writer API itself."""
+
+        def __init__(self, options, overwrite: bool):
+            self.path = options["path"]
+            self.put_cap = int(options.get("put_batch_size", FIREHOSE_PUT_CAP))
+            self.overwrite = overwrite
+
+        def write(self, iterator) -> "_WireCommit":
+            return _WireBatchWriter(
+                {"path": self.path, "put_batch_size": str(self.put_cap)},
+                overwrite=False,
+            ).write(iterator)
+
+        def _marker(self, batch_id: int) -> str:
+            return os.path.join(self.path, f"_batch_{batch_id:08d}_COMMITTED")
+
+        def commit(self, messages, batchId: int) -> None:
+            import shutil as _shutil
+
+            if os.path.exists(self._marker(batchId)):  # replayed batch
+                for m in messages:
+                    if m is not None and os.path.exists(m.staged):
+                        os.remove(m.staged)
+                return
+            for i, m in enumerate(messages):
+                if m is None:
+                    continue
+                os.replace(
+                    m.staged,
+                    os.path.join(self.path, f"put-{batchId:08d}-{i:05d}.json"),
+                )
+            with open(self._marker(batchId), "w"):
+                pass
+            _shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+
+        def abort(self, messages, batchId: int) -> None:
+            import shutil as _shutil
+
+            _shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+
     class CDCWireDataSource(DataSource):
         """``spark.read/readStream.format("cdc_wire")`` source for the
         Kinesis-shaped wire records, with replayId-based resume —
-        and ``df.write.format("cdc_wire")`` sink with the Firehose
-        PUT-batch shape."""
+        and ``df.write/writeStream.format("cdc_wire")`` sink with the
+        Firehose PUT-batch shape (batched two-phase commit; epoch
+        markers make streaming commits idempotent under replay)."""
 
         @classmethod
         def name(cls) -> str:
@@ -296,6 +349,9 @@ try:  # the Python DataSource API needs pyspark >= 4
 
         def writer(self, schema, overwrite: bool):
             return _WireBatchWriter(self.options, overwrite)
+
+        def streamWriter(self, schema, overwrite: bool):
+            return _WireStreamWriter(self.options, overwrite)
 
     HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - older pyspark

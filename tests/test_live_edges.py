@@ -329,3 +329,51 @@ def test_batch_reader_one_task_per_file(spark, sf_dir, tmp_path):
     assert n_files >= 2  # repartition(4) staged >=2 non-empty partitions
     back = spark.read.format("cdc_wire").option("path", out).load()
     assert back.rdd.getNumPartitions() == n_files
+
+
+def test_stream_writer_epoch_commits_and_replay_idempotence(spark, sf_dir, tmp_path):
+    """writeStream.format('cdc_wire'): multi-epoch drain publishes
+    per-batch files + COMMITTED markers; a replayed batchId publishes
+    nothing twice."""
+    from sfdc_cdc_aws_spark.sources.live import _WireCommit, _WireStreamWriter
+    from sfdc_cdc_aws_spark.sources.live import register_cdc_wire
+    from sfdc_cdc_aws_spark.streaming.job import WIRE_SCHEMA, ensure_landing
+
+    register_cdc_wire(spark)
+    landing = ensure_landing(spark, sf_dir)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    ckpt = str(tmp_path / "ckpt")
+    wire = (
+        spark.readStream.schema(WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .json(landing)
+        .selectExpr("partitionKey", "data")
+    )
+    q = (
+        wire.writeStream.format("cdc_wire")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # 16 landing files / 8 per trigger -> 2 committed epochs
+    markers = [f for f in os.listdir(out) if f.endswith("_COMMITTED")]
+    assert len(markers) == 2
+    back = spark.read.format("cdc_wire").option("path", out).load()
+    want = spark.read.schema(WIRE_SCHEMA).json(landing).count()
+    assert back.count() == want
+
+    # replaying a committed batchId must be a no-op (marker short-circuit)
+    w = _WireStreamWriter({"path": out}, overwrite=False)
+    staged_dir = os.path.join(out, "_staged")
+    os.makedirs(staged_dir, exist_ok=True)
+    ghost = os.path.join(staged_dir, "ghost.staged")
+    with open(ghost, "w") as f:
+        f.write('{"partitionKey": "x", "data": "ZmFrZQ=="}\n')
+    n_before = len([f for f in os.listdir(out) if f.endswith(".json")])
+    w.commit([_WireCommit(staged=ghost, records=1, put_batches=1)], batchId=0)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".json")])
+    assert n_after == n_before  # nothing republished
+    assert not os.path.exists(ghost)  # re-staged duplicate discarded
