@@ -366,6 +366,37 @@ def cdc_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_stream_dedup_tumbling",
+    oracle=None,  # set below from the shared CHANGES_CTE
+)
+def cdc_stream_dedup_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators CHAINED in one streaming query:
+    watermarked ``dropDuplicates`` feeding an event-time tumbling
+    aggregate — the shape every real exactly-once metrics job has
+    (dedup the at-least-once bus, then count), and a different
+    capability than either stage alone: Spark must pipeline two state
+    stores per partition and the dedup's output watermark must drive
+    the window's eviction. Uses the DUPLICATED wire stream (every
+    record delivered twice — `_dup_wire_stream`), so a missing dedup
+    stage would exactly double every count and fail the oracle, which
+    counts each change once per 60 s window."""
+    landing = ensure_landing(spark, sf_dir)
+    ch = _dup_wire_stream(spark, landing)
+    agg = (
+        ch.withWatermark("commit_ts", REPLAY_DEDUP_HORIZON)
+        .dropDuplicates(["replay_id", "record_id"])
+        .groupBy("entity_name", F.window("commit_ts", "60 seconds").alias("w"))
+        .agg(F.count("*").alias("n_changes"))
+        .select(
+            "entity_name",
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "n_changes",
+        )
+    )
+    return run_available_now(agg, "cdc_dedup_tumbling", output_mode="complete")
+
+
+@query(
     "cdc_stream_sliding",
     oracle=None,  # set below from the shared CHANGES_CTE
 )
@@ -584,6 +615,18 @@ def _borrow_oracles() -> None:
 
     QUERIES["cdc_stream_tumbling"] = replace(
         QUERIES["cdc_stream_tumbling"],
+        oracle=f"""
+WITH {CHANGES_CTE}
+SELECT entity_name,
+       commit_ts_ms - commit_ts_ms % 60000 AS window_start_ms,
+       count(*) AS n_changes
+FROM changes GROUP BY 1, 2
+""",
+    )
+    # chained dedup+window over the DUPLICATED stream must equal the
+    # plain tumbling counts (each change exactly once per window)
+    QUERIES["cdc_stream_dedup_tumbling"] = replace(
+        QUERIES["cdc_stream_dedup_tumbling"],
         oracle=f"""
 WITH {CHANGES_CTE}
 SELECT entity_name,

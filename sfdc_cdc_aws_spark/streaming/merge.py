@@ -192,7 +192,16 @@ class IncrementalSnapshot:
         if manifest is None:
             merged, next_epoch = delta, 0
         else:
-            merged = _latest_per_key(self.read().unionByName(delta))
+            # allowMissingColumns = ADDITIVE schema evolution: a feed
+            # that grows a column mid-stream (the CDC reality — new
+            # entity fields appear whenever the source object changes)
+            # merges with the old state's missing side nulled, and the
+            # state schema widens at the next publish. Removing or
+            # retyping a column still fails loudly (unionByName casts
+            # nothing), which is the right default for a lake.
+            merged = _latest_per_key(
+                self.read().unionByName(delta, allowMissingColumns=True)
+            )
             next_epoch = manifest["epoch"] + 1
         os.makedirs(self.state_dir, exist_ok=True)
         staged = self._epoch_dir(next_epoch)

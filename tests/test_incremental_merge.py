@@ -157,3 +157,30 @@ def test_incremental_idempotent_replay(spark, tmp_path):
     before = _state_rows(snap)
     snap.upsert(ch.limit(500))  # duplicate delivery of a prefix
     assert _state_rows(snap) == before
+
+
+def test_additive_schema_evolution_widens_state(spark, tmp_path):
+    """A feed that grows a column mid-stream merges (old rows null in
+    the new column, state schema widens at the next publish); the
+    evolved column carries through later merges. Removing a column
+    still fails loudly."""
+    from pyspark.sql import functions as F
+
+    snap = IncrementalSnapshot(spark, str(tmp_path / "state"))
+    ch = changes(spark, SF).select(
+        "entity_name", "uid", "record_id", "change_type",
+        "commit_ts_ms", "replay_id",
+    )
+    snap.upsert(ch.limit(500))
+    assert "change_origin" not in snap.read().columns
+
+    widened = ch.limit(1000).withColumn("change_origin", F.lit("api"))
+    snap.upsert(widened)
+    cur = snap.read()
+    assert "change_origin" in cur.columns
+    # rows only seen pre-evolution are nulled, refreshed rows carry it
+    assert cur.where(F.col("change_origin") == "api").count() > 0
+
+    # the widened schema persists through a later narrow batch too
+    snap.upsert(ch.limit(200))
+    assert "change_origin" in snap.read().columns
