@@ -431,3 +431,47 @@ def recursive_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion is the declarative tool for short bounded walks."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_bfs_v")
     return spark.sql(_BFS_SQL.format(events="events_bfs_v"))
+
+
+# ---------------------------------------------------------------------------
+# VARIANT: Spark 4's semi-structured type over the raw props JSON
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "variant_suite",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k_int,
+       CAST(json_extract(props, '$.k') AS DOUBLE) / 10 AS k_scaled,
+       json_extract_string(props, '$.missing') AS missing_path,
+       CAST(json_extract(props, '$.k') AS INT) IS NOT NULL AS has_k
+FROM events WHERE event_id % 11 = 0
+""",
+)
+def variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT over the raw JSON payload: ``parse_json`` once
+    into the binary semi-structured type, then typed path access with
+    ``variant_get`` — the schema-on-read answer for payloads whose
+    shape is not known at pipeline-build time (the same gap the
+    envelope's MapType fills for CDC headers, here for arbitrary
+    nesting). VARIANT keeps the parsed tree in a binary encoding, so
+    repeated path accesses don't re-parse the JSON text the way
+    chained ``get_json_object`` calls do — the difference between one
+    parse and P parses per row at 100 TB. Missing paths yield NULL
+    (``try_variant_get`` semantics), checked by the `missing_path`
+    column; the oracle recomputes every access with DuckDB's JSON
+    operators over the same text.
+
+    Plan: narrow per-row expressions on a pushed-filter scan — no
+    shuffle, no UDF."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0)
+    v = F.parse_json("props")
+    k_int = F.try_variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k_int.alias("k_int"),
+        (F.try_variant_get(v, "$.k", "double") / 10).alias("k_scaled"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_path"),
+        k_int.isNotNull().alias("has_k"),
+    )

@@ -300,3 +300,71 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_n").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: the custom table-function escape hatch
+# ---------------------------------------------------------------------------
+
+UDTF_CHUNK = 64  # tokens per emitted chunk row
+
+
+@query(
+    "udtf_chunk_expand",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+c AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0,
+             CAST(ceil(len(t) / {UDTF_CHUNK}.0) AS INT) - 1)) AS chunk_idx
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(least({UDTF_CHUNK}, len(t) - chunk_idx * {UDTF_CHUNK}) AS INT)
+         AS n_tokens,
+       t[chunk_idx * {UDTF_CHUNK} + 1] AS first_token
+FROM c
+""",
+)
+def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 ``@udtf``): one
+    input row fans out to N output rows from imperative Python — the
+    escape hatch for generators no built-in expresses (stateful
+    parsers, tokenizer bindings, decoder loops). The function here
+    (fixed {UDTF_CHUNK}-token chunking) IS expressible declaratively —
+    deliberately, so the oracle can check the UDTF machinery
+    end-to-end: registration, LATERAL correlated invocation, and the
+    row-generator protocol. ``re.ASCII`` pins Python's \\W to Java's
+    ASCII semantics so tokenization matches the engine convention.
+
+    The cost model is the honest part: a row-based Python UDTF pays
+    pickle + per-row Python, ~10-100x an Arrow path — the guidance
+    stands (built-ins, then pandas_udf/mapInPandas, UDTF only when
+    per-row imperative generation is the semantics; compare
+    `chunk_overlap`, the declarative chunker this engine actually
+    uses)."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tokens int, first_token string")
+    class ChunkExpand:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF protocol
+            toks = [
+                t
+                for t in _re.split(r"\W+", (text or "").lower(), flags=_re.ASCII)
+                if t
+            ]
+            for i in range(0, len(toks), UDTF_CHUNK):
+                c = toks[i : i + UDTF_CHUNK]
+                yield doc_id, i // UDTF_CHUNK, len(c), c[0]
+
+    spark.udtf.register("chunk_expand_udtf", ChunkExpand)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.first_token
+        FROM docs_udtf_v d, LATERAL chunk_expand_udtf(d.doc_id, d.text) c
+        """
+    )
