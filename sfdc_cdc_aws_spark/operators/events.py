@@ -466,3 +466,53 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# built-in linear-regression aggregates: per-type trend fitting
+# ---------------------------------------------------------------------------
+
+REGR_EPOCH_MS = 1704067200000  # 2024-01-01, fixed x-origin for conditioning
+
+
+@query(
+    "regression_suite",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, (epoch_ms(ts) - {REGR_EPOCH_MS}) / 86400000.0), 6)
+         AS slope_per_day,
+       round(regr_intercept(value, (epoch_ms(ts) - {REGR_EPOCH_MS}) / 86400000.0), 6)
+         AS intercept,
+       round(regr_r2(value, (epoch_ms(ts) - {REGR_EPOCH_MS}) / 86400000.0), 6)
+         AS r2,
+       round(corr(value, (epoch_ms(ts) - {REGR_EPOCH_MS}) / 86400000.0), 6)
+         AS pearson_r,
+       round(covar_samp(value, (epoch_ms(ts) - {REGR_EPOCH_MS}) / 86400000.0), 6)
+         AS covar
+FROM events GROUP BY event_type
+""",
+)
+def regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event value over time via the
+    BUILT-IN regression aggregates (regr_slope / regr_intercept /
+    regr_r2 / corr / covar_samp) — "is this entity's change volume
+    drifting?" answered in one aggregate, no MLlib, no UDF. The x
+    axis is days since a fixed epoch (not raw epoch-ms): centering
+    keeps the sums regr_* accumulates well-conditioned, which is what
+    lets a 6-decimal round agree across engines' summation orders.
+
+    Plan: one map-side-combinable aggregate — every regr_* carries a
+    constant-size moment partial (n, Σx, Σy, Σxy, Σx², Σy²), so the
+    trend of a 100 TB event log shuffles |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_millis("ts") - F.lit(REGR_EPOCH_MS)) / 86400000.0
+    y = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.corr(y, x), 6).alias("pearson_r"),
+        F.round(F.covar_samp(y, x), 6).alias("covar"),
+    )

@@ -475,3 +475,46 @@ def variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "string").alias("missing_path"),
         k_int.isNotNull().alias("has_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax: the linear query form, same Catalyst plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_sql_suite",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+HAVING count(*) > 10
+""",
+)
+def pipe_sql_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4's ``|>`` operator): the same
+    filter → aggregate → having pipeline written in execution order
+    instead of SELECT's inside-out nesting. The surface is the point
+    — pipes parse to the IDENTICAL logical plan (WHERE after
+    AGGREGATE becomes HAVING), so the feature costs nothing and the
+    oracle is the classic formulation. Analysts migrating scripts
+    between dialects get a mechanical rewrite path.
+
+    Plan: pushed status filter, map-side partial aggregate, |priority|
+    rows shuffled — same as the GROUP BY form, by construction."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                AS DOUBLE), 2) AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        """
+    )
