@@ -63,10 +63,19 @@ def register_token_provider(
     _TOKEN_PROVIDERS[name] = (provider, validator or (lambda _t: True))
 
 
-def _scan_file(fpath: str) -> list[tuple[int, str, str]]:
+def _scan_file(
+    fpath: str, corrupt_policy: str = "fail"
+) -> list[tuple[int, str, str]]:
     """Wire records of ONE landing file → sorted
     [(replay_id, partitionKey, data)] — the per-task unit of the
-    partitioned batch reader."""
+    partitioned batch reader.
+
+    ``corrupt_policy``: a record that fails JSON/base64 decoding or
+    lacks the replayId either fails the task (``"fail"``, the
+    default — corruption is loud) or is dropped (``"skip"`` — the
+    100 TB posture, where one poisoned record must not wedge a
+    backfill; the streaming pipeline's analog is
+    :func:`streaming.job.split_corrupt`'s dead-letter side)."""
     import base64
 
     rows: list[tuple[int, str, str]] = []
@@ -74,11 +83,15 @@ def _scan_file(fpath: str) -> list[tuple[int, str, str]]:
         for line in f:
             if not line.strip():
                 continue
-            rec = json.loads(line)
-            env = json.loads(base64.b64decode(rec["data"]))
-            rows.append(
-                (int(env["event"]["replayId"]), rec["partitionKey"], rec["data"])
-            )
+            try:
+                rec = json.loads(line)
+                env = json.loads(base64.b64decode(rec["data"]))
+                rows.append(
+                    (int(env["event"]["replayId"]), rec["partitionKey"], rec["data"])
+                )
+            except (ValueError, KeyError, TypeError):
+                if corrupt_policy != "skip":
+                    raise
     rows.sort()
     return rows
 
@@ -131,6 +144,7 @@ try:  # the Python DataSource API needs pyspark >= 4
 
         def __init__(self, options):
             self.path = options["path"]
+            self.corrupt_policy = options.get("corrupt_policy", "fail")
 
         def partitions(self):
             return [
@@ -142,7 +156,9 @@ try:  # the Python DataSource API needs pyspark >= 4
         def read(self, partition):
             if partition.value is None:
                 return
-            for replay_id, pk, data in _scan_file(partition.value):
+            for replay_id, pk, data in _scan_file(
+                partition.value, self.corrupt_policy
+            ):
                 yield (replay_id, pk, data)
 
     class _WireStreamReader(SimpleDataSourceStreamReader):

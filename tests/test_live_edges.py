@@ -377,3 +377,34 @@ def test_stream_writer_epoch_commits_and_replay_idempotence(spark, sf_dir, tmp_p
     n_after = len([f for f in os.listdir(out) if f.endswith(".json")])
     assert n_after == n_before  # nothing republished
     assert not os.path.exists(ghost)  # re-staged duplicate discarded
+
+
+def test_reader_corrupt_policy(spark, sf_dir, tmp_path):
+    """Default: a poisoned landing line fails the read loudly;
+    corrupt_policy=skip drops it and delivers the rest."""
+    from sfdc_cdc_aws_spark.sources.live import register_cdc_wire
+
+    register_cdc_wire(spark)
+    out = str(tmp_path / "landing")
+    os.makedirs(out)
+    _wire_slice(spark, sf_dir).write.format("cdc_wire").mode("append").option(
+        "path", out
+    ).save()
+    good = spark.read.format("cdc_wire").option("path", out).load().count()
+    # poison one file with junk + a record missing its data field
+    victim = sorted(f for f in os.listdir(out) if f.endswith(".json"))[0]
+    with open(os.path.join(out, victim), "a") as f:
+        f.write("this is not json\n")
+        f.write('{"partitionKey": "x"}\n')
+
+    with pytest.raises(Exception):
+        spark.read.format("cdc_wire").option("path", out).load().count()
+
+    skipped = (
+        spark.read.format("cdc_wire")
+        .option("path", out)
+        .option("corrupt_policy", "skip")
+        .load()
+        .count()
+    )
+    assert skipped == good
