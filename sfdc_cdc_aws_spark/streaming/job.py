@@ -365,6 +365,55 @@ def cdc_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "cdc_tumbling", output_mode="complete")
 
 
+SS_OUTER_WM_MS = 10_000  # watermark delay of the outer-join sides
+
+
+@query(
+    "cdc_stream_outer_join",
+    oracle=None,  # set below from the shared CHANGES_CTE
+)
+def cdc_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: CREATEs matched to UPDATEs of
+    the same key within the following hour, PLUS a null row for every
+    CREATE whose window closed without a match. The outer side is the
+    capability the inner join (`cdc_stream_stream_join`) doesn't
+    exercise: Spark can only emit an unmatched-left null once the
+    GLOBAL watermark (min over both sides) passes the row's entire
+    match window — before that, a matching right row could still
+    arrive. The oracle MODELS that gate instead of papering over it:
+    it keeps exactly the unmatched rows with
+    ``c_ts + 1h < min(max(c_ts), max(u_ts)) - {SS_OUTER_WM_MS} ms``,
+    so the hash check pins the real production semantics — an
+    availableNow drain of an outer join leaves the watermark-open
+    TAIL unemitted (it would emit on the next increment), and any
+    consumer reconciling counts must account for it."""
+    landing = ensure_landing(spark, sf_dir)
+
+    def side(change_type: str, prefix: str) -> DataFrame:
+        wire = (
+            spark.readStream.schema(WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            .json(landing)
+        )
+        ch = parse_wire(wire).where(F.col("change_type") == change_type)
+        return ch.select(
+            F.col("uid").alias(f"{prefix}_uid"),
+            F.col("replay_id").alias(f"{prefix}_replay"),
+            F.col("commit_ts").alias(f"{prefix}_ts"),
+        ).withWatermark(f"{prefix}_ts", f"{SS_OUTER_WM_MS // 1000} seconds")
+
+    creates = side("CREATE", "c")
+    updates = side("UPDATE", "u")
+    joined = creates.join(
+        updates,
+        (F.col("c_uid") == F.col("u_uid"))
+        & (F.col("u_ts") >= F.col("c_ts"))
+        & (F.col("u_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+        "left_outer",
+    ).select(F.col("c_uid").alias("uid"), "c_replay", "u_replay")
+    return run_available_now(joined, "cdc_ss_outer")
+
+
 @query(
     "cdc_stream_dedup_tumbling",
     oracle=None,  # set below from the shared CHANGES_CTE
@@ -621,6 +670,27 @@ SELECT entity_name,
        commit_ts_ms - commit_ts_ms % 60000 AS window_start_ms,
        count(*) AS n_changes
 FROM changes GROUP BY 1, 2
+""",
+    )
+    QUERIES["cdc_stream_outer_join"] = replace(
+        QUERIES["cdc_stream_outer_join"],
+        oracle=f"""
+WITH {CHANGES_CTE},
+a AS (SELECT uid, replay_id AS c_replay, commit_ts_ms AS c_ms
+      FROM changes WHERE change_type = 'CREATE'),
+b AS (SELECT uid AS b_uid, replay_id AS u_replay, commit_ts_ms AS u_ms
+      FROM changes WHERE change_type = 'UPDATE'),
+wm AS (SELECT least((SELECT max(c_ms) FROM a), (SELECT max(u_ms) FROM b))
+              - {SS_OUTER_WM_MS} AS w),
+j AS (
+  SELECT a.uid, a.c_replay, a.c_ms, b.u_replay
+  FROM a LEFT JOIN b
+    ON a.uid = b.b_uid AND b.u_ms >= a.c_ms
+   AND b.u_ms <= a.c_ms + 3600000
+)
+SELECT uid, c_replay, u_replay
+FROM j, wm
+WHERE u_replay IS NOT NULL OR c_ms + 3600000 < wm.w
 """,
     )
     # chained dedup+window over the DUPLICATED stream must equal the
