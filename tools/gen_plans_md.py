@@ -135,6 +135,33 @@ SHOWCASE = {
         "probes beneath the fact scan — rows of non-qualifying orders "
         "die before the join exchange."
     ),
+    "scd2_temporal_probe_join": (
+        "per-row AS-OF temporal join planned as an EQUI hash join on "
+        "(entity, uid) with the interval containment as join residual — "
+        "never a nested-loop over probes x versions; probes broadcast."
+    ),
+    "recursive_bfs_hops": (
+        "Spark 4 recursive CTE (`UnionLoopExec`): each step an equi-join "
+        "of the frontier against the edge list with per-step DISTINCT "
+        "bounding rows by NODE count — the form that survives 10x where "
+        "the path-materializing variant hit RECURSION_ROW_LIMIT."
+    ),
+    "concurrency_sweepline": (
+        "distributed prefix sum: per-timestamp delta aggregate (map-side "
+        "partial), day-partitioned running-sum windows, and a "
+        "calendar-sized day-offset broadcast — no data-proportional "
+        "relation ever sorts in a single task."
+    ),
+    "lateral_join_topn": (
+        "correlated LATERAL subquery decorrelated to WindowGroupLimit "
+        "partial+final around the exchange — per-group top-k at "
+        "shuffle-parallel cost, nation dim broadcast."
+    ),
+    "replay_gap_report": (
+        "gaps-and-islands WITHOUT the global row_number sort: island ends "
+        "found by a shuffle-parallel left-anti self-join on (type, r+1), "
+        "min/max/count as map-side partials."
+    ),
 }
 
 
