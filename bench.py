@@ -58,6 +58,18 @@ HEADLINE_ORDER = [
     "window_rank_suite",
     "join_suite",
     "asof_event_order",
+    # round-5 showcases
+    "scd2_temporal_probe_join",
+    "recursive_bfs_hops",
+    "concurrency_sweepline",
+    "lsh_eval_pr",
+    "leakage_safe_split",
+    "ivm_join_delta",
+    "cdc_stream_sliding",
+    "cdc_stream_outer_join",
+    "pyds_sink_roundtrip",
+    "variant_suite",
+    "udtf_chunk_expand",
 ]
 
 # The driver keeps only the last ~2000 bytes of stdout, so the

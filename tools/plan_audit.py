@@ -44,6 +44,7 @@ MATERIALIZED_KEYS = {
     "pyds_sink_roundtrip",
     "pyds_stream_sink_roundtrip",
     "partitioned_sink_roundtrip",
+    "compaction_execute",
 }
 
 # smell -> {key: boundedness argument}. An entry here is a DOCUMENTED
