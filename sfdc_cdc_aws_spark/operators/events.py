@@ -516,3 +516,58 @@ def regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr(y, x), 6).alias("pearson_r"),
         F.round(F.covar_samp(y, x), 6).alias("covar"),
     )
+
+
+# ---------------------------------------------------------------------------
+# forward-fill imputation: last non-null carried forward per key
+# ---------------------------------------------------------------------------
+
+FFILL_NULL_MOD = 7  # deterministic sensor dropout: event_id % 7 == 0
+
+
+@query(
+    "forward_fill_impute",
+    oracle=f"""
+WITH raw AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN event_id % {FFILL_NULL_MOD} = 0 THEN NULL
+              ELSE value END AS v
+  FROM events
+)
+SELECT event_id, user_id, ts_ms, v,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts_ms, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM raw
+""",
+)
+def forward_fill_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last observation carried forward): every dropped
+    reading (a deterministic 1-in-{FFILL_NULL_MOD} dropout stands in
+    for sensor gaps) takes the user's most recent non-null value —
+    the imputation every telemetry/feature pipeline runs before
+    modeling. The engine form is ``last_value(..., ignoreNulls=True)``
+    over an unbounded-preceding ROWS frame; IGNORE NULLS is the whole
+    trick (a plain last_value returns the current row's null).
+    Leading nulls before a user's first reading stay null — honest
+    gaps, not fabricated values.
+
+    Plan: ONE shuffle on user_id and a running frame within each
+    partition — same cost envelope as any per-key cumulative window;
+    nothing global, nothing iterative."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % FFILL_NULL_MOD == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(w).alias("v_filled"),
+    )

@@ -518,3 +518,113 @@ def pipe_sql_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n_orders > 10
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectations: the dbt-tests analog as one relation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+SELECT 'orders_pk_unique' AS expectation,
+       CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+            AS BIGINT) AS n_bad,
+       (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0 AS ok
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT),
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0
+UNION ALL
+SELECT 'orders_to_customer_ref',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0
+UNION ALL
+SELECT 'lineitem_to_orders_ref',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) = 0
+UNION ALL
+SELECT 'lineitem_qty_in_range',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity < 1 OR l_quantity > 50) = 0
+UNION ALL
+SELECT 'orders_status_in_set',
+       CAST((SELECT count(*) FROM orders
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+       (SELECT count(*) FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over the lake — the
+    dbt-tests / Great-Expectations analog as ONE relation: primary-key
+    uniqueness, not-null, referential integrity (both fact→dim
+    edges), range, and accepted-values checks, each emitting its
+    violation count and verdict. A CI gate diffs `ok` against
+    all-TRUE; the violation counts make a red check actionable
+    without a re-query.
+
+    Plan: uniqueness is a distinct-count aggregate; referential
+    integrity is a LEFT ANTI join per edge (Catalyst's decorrelated
+    NOT EXISTS — shuffle-parallel, no per-row subquery); range/set
+    checks are pushed-filter counts. Each check is a scalar
+    aggregate; the final relation is six broadcast one-row unions —
+    checking 100 TB costs the scans, not the assembly."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def check(name: str, bad_df: DataFrame) -> DataFrame:
+        return bad_df.agg(F.count("*").cast("bigint").alias("n_bad")).select(
+            F.lit(name).alias("expectation"),
+            "n_bad",
+            (F.col("n_bad") == 0).alias("ok"),
+        )
+
+    dup = o.groupBy("o_orderkey").count().where(F.col("count") > 1)
+    pk_unique = dup.agg(
+        F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).cast("bigint").alias("n_bad")
+    ).select(
+        F.lit("orders_pk_unique").alias("expectation"),
+        "n_bad",
+        (F.col("n_bad") == 0).alias("ok"),
+    )
+    return (
+        pk_unique
+        .unionByName(check("orders_custkey_not_null", o.where(F.col("o_custkey").isNull())))
+        .unionByName(
+            check(
+                "orders_to_customer_ref",
+                o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti"),
+            )
+        )
+        .unionByName(
+            check(
+                "lineitem_to_orders_ref",
+                li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti"),
+            )
+        )
+        .unionByName(
+            check(
+                "lineitem_qty_in_range",
+                li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+            )
+        )
+        .unionByName(
+            check(
+                "orders_status_in_set",
+                o.where(~F.col("o_orderstatus").isin("O", "F", "P")),
+            )
+        )
+    )
