@@ -330,7 +330,17 @@ def batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``range(0, len, batch_size)``, app.py:75; BATCH_SIZE=50 deployed,
     template.yaml:59) — row_number per entity → integer-divide.
     At the live SOQL edge this bounds the IN-list; on parquet the join
-    replaces it, so this operator exists for parity + the connector."""
+    replaces it, so this operator exists for parity + the connector.
+
+    Scale consequence, stated plainly: ``row_number() OVER (PARTITION
+    BY entity_name)`` serializes EACH ENTITY'S ids through one task —
+    with 5 entities this is a 5-task stage no matter how many
+    executors exist. That is faithful to the reference (one Lambda
+    walks one entity's id list sequentially, app.py:75-113) and
+    acceptable only because the live edge is the real scale path:
+    `soql_enrich` (sources/live.py) chunks per PARTITION, so the
+    deployed chunking parallelizes with the data while this parity
+    operator stays the sequential spec."""
     from pyspark.sql import Window
 
     ids = changes(spark, sf_dir).select("entity_name", "record_id").dropDuplicates()
