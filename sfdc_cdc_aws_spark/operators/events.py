@@ -571,3 +571,89 @@ def forward_fill_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("v"),
         F.last(v, ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series resample: per-user weekly grid, gaps carried forward
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_resample",
+    oracle=f"""
+WITH per AS (
+  SELECT user_id, epoch_ms(ts) // {WEEK_MS} AS wk,
+         epoch_ms(ts) AS ms, event_id, value
+  FROM events
+),
+spans AS (
+  SELECT user_id, min(wk) AS wk_lo, max(wk) AS wk_hi FROM per GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(wk_lo, wk_hi)) AS wk FROM spans
+),
+weekly AS (
+  SELECT user_id, wk, wk_last FROM (
+    SELECT user_id, wk, value AS wk_last,
+           row_number() OVER (PARTITION BY user_id, wk
+                              ORDER BY ms DESC, event_id DESC) AS rn
+    FROM per) WHERE rn = 1
+)
+SELECT s.user_id, CAST(s.wk AS BIGINT) AS wk,
+       round(last_value(w.wk_last IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.wk
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v,
+       (w.wk_last IS NULL) AS imputed
+FROM spine s LEFT JOIN weekly w
+  ON w.user_id = s.user_id AND w.wk = s.wk
+""",
+)
+def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical resample, composed from proven parts: per user,
+    a complete WEEKLY grid over their active span (calendar spine —
+    no silent gaps), each week valued at the user's LAST reading that
+    week ((ms, event_id)-ordered max_by), and empty weeks carried
+    forward (LOCF) with an explicit ``imputed`` flag so downstream
+    consumers can tell measurement from fill. This is what
+    `date_spine_fill` + `forward_fill_impute` + the flagship's
+    max_by reduction exist FOR — the dashboard/feature-store shape.
+
+    Plan: the weekly reduction is one map-side-combinable aggregate
+    (the shuffle carries user-weeks, not events); the spine explodes
+    from |users| span rows and joins the weekly relation on the same
+    (user, wk) key; the LOCF window partitions by user. Output is
+    Σ user-weeks — bounded by users x calendar, an order below the
+    event log."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.select(
+        "user_id",
+        F.expr(f"unix_millis(ts) div {WEEK_MS}").alias("wk"),
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        "value",
+    )
+    weekly = per.groupBy("user_id", "wk").agg(
+        F.max_by("value", F.struct("ms", "event_id")).alias("wk_last")
+    )
+    spine = (
+        per.groupBy("user_id")
+        .agg(F.min("wk").alias("wk_lo"), F.max("wk").alias("wk_hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("wk_lo", "wk_hi")).alias("wk"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(weekly, ["user_id", "wk"], "left")
+        .select(
+            "user_id",
+            F.col("wk").cast("bigint").alias("wk"),
+            F.round(F.last("wk_last", ignorenulls=True).over(w), 6).alias("v"),
+            F.col("wk_last").isNull().alias("imputed"),
+        )
+    )
