@@ -575,3 +575,69 @@ def bulk_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("LastName_"), F.col("id").cast("string")).alias("last_name"),
         F.format_string("bulk%d@example.com", F.col("id")).alias("email"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dead-letter accounting: the corrupt-record path, driver-visible
+# ---------------------------------------------------------------------------
+
+POISON_MOD = 101  # deterministic poison: every 101st event's wire truncated
+
+
+@query(
+    "dead_letter_report",
+    oracle=f"""
+SELECT CAST(count(*) FILTER (WHERE event_id % {POISON_MOD} <> 0) AS BIGINT)
+         AS n_ok_records,
+       CAST(count(*) FILTER (WHERE event_id % {POISON_MOD} = 0) AS BIGINT)
+         AS n_dead_records,
+       CAST(count(*) FILTER (WHERE event_id % {POISON_MOD} <> 0
+                             AND event_id % 5 = 0) * 2
+            + count(*) FILTER (WHERE event_id % {POISON_MOD} <> 0
+                               AND event_id % 5 <> 0) AS BIGINT)
+         AS n_ok_changes
+FROM events
+""",
+)
+def dead_letter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corrupt-record path, end to end and driver-checked: a
+    deterministic 1-in-{POISON_MOD} of the wire records is truncated
+    mid-base64 (the torn-Kinesis-record failure), the feed routes
+    through :func:`streaming.job.split_corrupt`, and the report
+    accounts for every record — parsed records explode to their
+    changes, dead letters are COUNTED (in production: landed with
+    raw payload + alerted), and nothing vanishes. The reference
+    would loop forever here: app.py:48-62 has no error handling, so
+    Kinesis redelivers the poisoned batch until it expires; the
+    split makes the same input a bounded, measured loss instead.
+
+    Plan: one scan, the split is two complementary filters on the
+    same decoded expression (no second decode), counts are map-side
+    partials."""
+    from sfdc_cdc_aws_spark.sources.cdc_feed import envelopes
+    from sfdc_cdc_aws_spark.streaming.job import wire_validity
+
+    env = envelopes(spark, sf_dir)
+    wire = env.select(
+        F.col("partition_key").alias("partitionKey"),
+        F.when(
+            F.col("envelope.event.replayId") % POISON_MOD == 0,
+            F.substring(F.col("wire"), 1, 10),  # torn record: invalid b64 tail
+        )
+        .otherwise(F.col("wire"))
+        .alias("data"),
+    )
+    # ONE pass: split_corrupt's validity predicate evaluated once per
+    # record, all three counts as conditional aggregates — the wire
+    # build + decode runs a single time instead of once per branch
+    parsed, ok = wire_validity(wire)
+    n_ids = F.size(parsed["payload"]["ChangeEventHeader"]["recordIds"])
+    return wire.select(ok.alias("_ok"), n_ids.alias("_n")).agg(
+        F.sum(F.col("_ok").cast("long")).cast("bigint").alias("n_ok_records"),
+        F.sum((~F.coalesce(F.col("_ok"), F.lit(False))).cast("long"))
+        .cast("bigint")
+        .alias("n_dead_records"),
+        F.sum(F.when(F.col("_ok"), F.col("_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_ok_changes"),
+    )

@@ -108,6 +108,22 @@ def parse_wire(df: DataFrame) -> DataFrame:
     ).withColumn("commit_ts", F.timestamp_millis(F.col("commit_ts_ms")))
 
 
+def wire_validity(df: DataFrame) -> tuple:
+    """(parsed envelope Column, ok-predicate Column) for a wire frame —
+    the ONE definition of "this record is processable" shared by
+    :func:`split_corrupt` and any single-pass accounting over the
+    same condition (operators/pipeline.py `dead_letter_report`)."""
+    env = F.from_json(
+        F.expr("try_to_binary(data, 'base64')").cast("string"), ENVELOPE_SCHEMA
+    )
+    ok = (
+        env.isNotNull()
+        & env["event"]["replayId"].isNotNull()
+        & (F.size(env["payload"]["ChangeEventHeader"]["recordIds"]) > 0)
+    )
+    return env, ok
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(parsed-able, dead_letter): wire records whose envelope fails
     base64/JSON decoding or lacks the fields the pipeline keys on
@@ -118,14 +134,7 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     handling at all, so one poison record fails the whole Lambda batch
     and Kinesis redelivers it forever. Route the dead-letter side to
     its own sink and alert on its rate."""
-    env = F.from_json(
-        F.expr("try_to_binary(data, 'base64')").cast("string"), ENVELOPE_SCHEMA
-    )
-    ok = (
-        env.isNotNull()
-        & env["event"]["replayId"].isNotNull()
-        & (F.size(env["payload"]["ChangeEventHeader"]["recordIds"]) > 0)
-    )
+    _env, ok = wire_validity(df)
     flagged = df.withColumn("_env_ok", ok)
     return (
         flagged.where(F.col("_env_ok")).drop("_env_ok"),
