@@ -921,7 +921,7 @@ truth AS (
   FROM jinter i
   JOIN jsizes s1 ON i.doc_a = s1.doc_id
   JOIN jsizes s2 ON i.doc_b = s2.doc_id
-  WHERE CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common)
+  WHERE round(CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common), 6)
         >= {LSH_EVAL_JACCARD}
 ),
 cand AS (SELECT DISTINCT doc_a, doc_b FROM lsh_pairs),
@@ -951,13 +951,23 @@ def lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets; shingle inverted index) plus set intersection — three
     aggregates to scalar counts broadcast into one row. Nothing here
     exceeds the cost of the pipelines being audited."""
+    # localCheckpoint: each pair relation feeds BOTH its scalar count
+    # and the intersection join — without it the two most expensive
+    # subtrees (banded LSH; shingle inverted index) execute twice.
+    # The threshold filters the ROUNDED jaccard on both engines (the
+    # emitted 6-dp column here, round(...) in the oracle) so a pair at
+    # the boundary can't classify differently across engines.
     cand = (
-        minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b").distinct()
+        minhash_lsh_dedup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint()
     )
     truth = (
         ngram_jaccard_dedup(spark, sf_dir)
         .where(F.col("jaccard") >= LSH_EVAL_JACCARD)
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     hit = cand.join(truth, ["doc_a", "doc_b"], "inner")
     counts = (

@@ -454,7 +454,11 @@ def compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in files
         if f.endswith(".parquet")
     )
-    assert n_files == n_bins, f"compaction fanned out: {n_files} files, {n_bins} bins"
+    if n_files != n_bins:  # the invariant compaction exists to provide —
+        # a typed raise, not assert (assert vanishes under python -O)
+        raise RuntimeError(
+            f"compaction fanned out: {n_files} files for {n_bins} bins"
+        )
     back = spark.read.parquet(out)
     result = back.groupBy("bin_id").agg(
         F.count("*").alias("n_rows"),

@@ -276,13 +276,20 @@ try:  # the Python DataSource API needs pyspark >= 4
 
         def commit(self, messages) -> None:
             import shutil as _shutil
+            import uuid as _uuid
 
             if self.overwrite:
                 for old in os.listdir(self.path):
                     if old.endswith(".json"):
                         os.remove(os.path.join(self.path, old))
+            # a per-commit token uniquifies published names: a second
+            # mode("append") job must ADD files, never os.replace over
+            # an earlier publish's put-00000.json
+            job = _uuid.uuid4().hex[:8]
             for i, m in enumerate(messages):
-                os.replace(m.staged, os.path.join(self.path, f"put-{i:05d}.json"))
+                os.replace(
+                    m.staged, os.path.join(self.path, f"put-{job}-{i:05d}.json")
+                )
             with open(os.path.join(self.path, "_SUCCESS"), "w"):
                 pass
             _shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)

@@ -160,6 +160,26 @@ class IncrementalSnapshot:
             )
         return {"rows": n}
 
+    @staticmethod
+    def _fsync_dir_files(staged: str) -> None:
+        """fsync every staged data file + the epoch dir: the manifest
+        fsync alone is not durability — a power loss after a durable
+        MANIFEST but before the kernel flushes the parquet pages would
+        pin a torn epoch forever. (On HDFS/S3 the store's close/commit
+        semantics replace this; the local-FS path must do it itself.)"""
+        for root, _dirs, files in os.walk(staged):
+            for f in files:
+                fd = os.open(os.path.join(root, f), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+        dfd = os.open(staged, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
     def _publish(self, epoch: int, audit: dict) -> None:
         """Atomically flip MANIFEST to the audited epoch (fsync'd temp
         file + os.replace; directory fsync for rename durability)."""
@@ -192,15 +212,25 @@ class IncrementalSnapshot:
         if manifest is None:
             merged, next_epoch = delta, 0
         else:
-            # allowMissingColumns = ADDITIVE schema evolution: a feed
-            # that grows a column mid-stream (the CDC reality — new
-            # entity fields appear whenever the source object changes)
-            # merges with the old state's missing side nulled, and the
-            # state schema widens at the next publish. Removing or
-            # retyping a column still fails loudly (unionByName casts
-            # nothing), which is the right default for a lake.
+            # ADDITIVE-ONLY schema evolution: a feed that grows a
+            # column mid-stream (the CDC reality — new entity fields
+            # appear whenever the source object changes) merges with
+            # the old state's missing side nulled, and the state
+            # schema widens at the next publish. A delta that DROPS a
+            # column the state carries is rejected before any write:
+            # allowMissingColumns would quietly null the evolved
+            # column on every refreshed key (newer rows win the
+            # max_by), which is a silent data regression, not
+            # evolution. Retyping still fails in unionByName itself.
+            state = self.read()
+            dropped = set(state.columns) - set(delta.columns)
+            if dropped:
+                raise AuditError(
+                    f"delta drops state columns {sorted(dropped)}; "
+                    "schema evolution is additive-only"
+                )
             merged = _latest_per_key(
-                self.read().unionByName(delta, allowMissingColumns=True)
+                state.unionByName(delta, allowMissingColumns=True)
             )
             next_epoch = manifest["epoch"] + 1
         os.makedirs(self.state_dir, exist_ok=True)
@@ -213,6 +243,7 @@ class IncrementalSnapshot:
         # mode=overwrite clears any torn stage a crash left behind at
         # this epoch number (it was never published, so it is garbage).
         merged.coalesce(4).write.mode("overwrite").parquet(staged)
+        self._fsync_dir_files(staged)  # data durable BEFORE the manifest
         audit = self._audit(staged)  # AUDIT: raises → nothing published
         self._publish(next_epoch, audit)  # PUBLISH: the one atomic flip
         self._gc(next_epoch)

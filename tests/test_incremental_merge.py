@@ -161,10 +161,13 @@ def test_incremental_idempotent_replay(spark, tmp_path):
 
 def test_additive_schema_evolution_widens_state(spark, tmp_path):
     """A feed that grows a column mid-stream merges (old rows null in
-    the new column, state schema widens at the next publish); the
-    evolved column carries through later merges. Removing a column
-    still fails loudly."""
+    the new column, state schema widens at the next publish); a later
+    batch that DROPS the evolved column is rejected loudly — silently
+    nulling refreshed keys' values would be data regression, not
+    evolution."""
     from pyspark.sql import functions as F
+
+    from sfdc_cdc_aws_spark.streaming.merge import AuditError
 
     snap = IncrementalSnapshot(spark, str(tmp_path / "state"))
     ch = changes(spark, SF).select(
@@ -181,6 +184,10 @@ def test_additive_schema_evolution_widens_state(spark, tmp_path):
     # rows only seen pre-evolution are nulled, refreshed rows carry it
     assert cur.where(F.col("change_origin") == "api").count() > 0
 
-    # the widened schema persists through a later narrow batch too
-    snap.upsert(ch.limit(200))
+    # a narrow follow-up batch (column dropped) must be REJECTED and
+    # publish nothing: state stays on the widened epoch
+    before = snap._read_manifest()
+    with pytest.raises(AuditError, match="additive-only"):
+        snap.upsert(ch.limit(200))
+    assert snap._read_manifest() == before
     assert "change_origin" in snap.read().columns

@@ -408,3 +408,20 @@ def test_reader_corrupt_policy(spark, sf_dir, tmp_path):
         .count()
     )
     assert skipped == good
+
+
+def test_second_append_adds_instead_of_clobbering(spark, sf_dir, tmp_path):
+    """Two mode('append') writes must ACCUMULATE — publish names are
+    per-commit unique, so a second job can never os.replace over the
+    first publish's files."""
+    from sfdc_cdc_aws_spark.sources.live import register_cdc_wire
+
+    register_cdc_wire(spark)
+    out = str(tmp_path / "landing")
+    os.makedirs(out)
+    a = _wire_slice(spark, sf_dir, mod=13)
+    b = _wire_slice(spark, sf_dir, mod=26)
+    a.write.format("cdc_wire").mode("append").option("path", out).save()
+    b.write.format("cdc_wire").mode("append").option("path", out).save()
+    back = spark.read.format("cdc_wire").option("path", out).load()
+    assert back.count() == a.count() + b.count()
