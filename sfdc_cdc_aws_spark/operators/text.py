@@ -958,3 +958,60 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "lang", fp.alias("fingerprint"), split.alias("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# group-integrity K-fold assignment: cross-validation without leakage
+# ---------------------------------------------------------------------------
+
+CV_FOLDS = 5
+
+
+@query(
+    "cross_validation_folds",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         {DUCK_HASH64.format(expr="lower(trim(text))")} AS fingerprint
+  FROM documents
+),
+folded AS (
+  SELECT doc_id, lang, fingerprint,
+         CAST(({DUCK_HASH64.format(expr="'fold:' || CAST(fingerprint AS VARCHAR)")})
+              % {CV_FOLDS} AS INT) AS fold
+  FROM fp
+)
+SELECT fold, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_groups,
+       min(doc_id) AS min_doc
+FROM folded GROUP BY fold, lang
+""",
+)
+def cross_validation_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold assignment with GROUP integrity — `leakage_safe_split`'s
+    cross-validation sibling: the fold is a salted hash of the
+    content-group fingerprint, so exact duplicates always share a
+    fold and no evaluation fold ever scores text its training folds
+    contained. The report is per-(fold, lang) — doc and GROUP counts
+    together expose both balance questions (roughly n/{CV_FOLDS} docs
+    per fold, and groups intact: Σ n_groups across folds equals the
+    corpus's distinct fingerprints because no group straddles).
+
+    Plan: fingerprint + fold are narrow per-row expressions; the
+    only shuffle carries the |folds x langs| aggregate — assigning
+    folds over 100 TB is a scan."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = shared_hash64(F.lower(F.trim(F.col("text"))))
+    fold = (
+        shared_hash64(F.concat(F.lit("fold:"), fp.cast("string"))) % CV_FOLDS
+    ).cast("int")
+    return (
+        d.select("doc_id", "lang", fp.alias("fingerprint"), fold.alias("fold"))
+        .groupBy("fold", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("fingerprint").cast("bigint").alias("n_groups"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )

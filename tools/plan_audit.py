@@ -77,6 +77,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "topk_cosine_sim": "build side is the N_QUERIES row query set (bounded constant)",
         "tpch_q11_important_stock": "value-share threshold scalar — one row (the spec's correlated scalar subquery)",
         "tpch_q22_dormant_customers": "average-balance scalar — one row (the spec's scalar subquery)",
+        "wau_mau_stickiness": "max-week clip scalar — one row (the MAU window itself is a narrow explode, rewritten off a range join after this sweep flagged it)",
     },
     "cartesian": {},
 }
