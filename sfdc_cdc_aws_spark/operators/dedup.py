@@ -984,3 +984,138 @@ def lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy: signature agreement vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "minhash_estimate_accuracy",
+    oracle=f"""
+WITH {_DUCK_LSH_PAIRS_CTE},
+cand AS (SELECT DISTINCT doc_a, doc_b FROM lsh_pairs),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_filter(generate_series(1, {N_HASHES}),
+                               i -> sa.sig[i] = sb.sig[i]))
+               * 1.0 / {N_HASHES}, 6) AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+),
+jtoks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+jsh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+  FROM jtoks WHERE len(t) >= 3
+),
+jsizes AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
+jinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM jsh a JOIN jsh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       round(coalesce(i.n_common, 0) * 1.0
+             / (s1.n + s2.n - coalesce(i.n_common, 0)), 6) AS exact_jaccard,
+       abs(e.est_jaccard
+           - coalesce(i.n_common, 0) * 1.0
+             / (s1.n + s2.n - coalesce(i.n_common, 0))) <= 0.375
+         AS within_bound
+FROM est e
+LEFT JOIN jinter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN jsizes s1 ON s1.doc_id = e.doc_a
+JOIN jsizes s2 ON s2.doc_id = e.doc_b
+""",
+)
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR itself, audited: for every LSH candidate
+    pair, the signature-agreement estimate (matching components /
+    {N_HASHES}) next to the exact 3-shingle Jaccard it estimates, and
+    a bound verdict — E[est] = J with sd = sqrt(J(1-J)/{N_HASHES}) ≤
+    0.125, so |est − J| ≤ 3sd = 0.375 holds per pair except with
+    vanishing probability; a systematic estimator bug (wrong hash
+    family, off-by-one in the component compare) breaks the bound
+    wholesale and fails the hash. `lsh_eval_pr` audits the BANDING's
+    candidate recall; this audits the ESTIMATE's calibration — the
+    two failure modes of a MinHash deployment, now both measured.
+
+    Plan: signatures come from the materialized per-corpus cache
+    (computed once), the estimate is a narrow array comparison per
+    candidate pair, and the exact side reuses the shingle
+    inverted-index shape on the CANDIDATE pairs only — never all
+    pairs."""
+    import pyspark.sql.functions as PF
+
+    cand = (
+        minhash_lsh_dedup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    sigs = minhash_signatures(spark, sf_dir)
+    sa = sigs.select(PF.col("doc_id").alias("doc_a"), PF.col("sig").alias("sig_a"))
+    sb = sigs.select(PF.col("doc_id").alias("doc_b"), PF.col("sig").alias("sig_b"))
+    matches = PF.size(
+        PF.filter(
+            PF.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            PF.round(matches / N_HASHES, 6).alias("est_jaccard"),
+        )
+    )
+    # exact 3-shingle Jaccard, computed only for the candidate pairs
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    sh = (
+        d.where(PF.size(t) >= 3)
+        .select(
+            "doc_id",
+            PF.explode(
+                PF.array_distinct(
+                    PF.expr(
+                        "transform(sequence(1, size(filter(split(lower(text),"
+                        " '\\\\W+'), x -> x != '')) - 2), i -> concat_ws(' ',"
+                        " slice(filter(split(lower(text), '\\\\W+'),"
+                        " x -> x != ''), i, 3)))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(PF.count("*").alias("n"))
+    a = sh.select(PF.col("doc_id").alias("doc_a"), "g")
+    b = sh.select(PF.col("doc_id").alias("doc_b"), PF.col("g").alias("gb"))
+    inter = (
+        a.join(b, (PF.col("g") == PF.col("gb")) & (PF.col("doc_a") < PF.col("doc_b")))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(PF.count("*").alias("n_common"))
+    )
+    exact = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(PF.col("doc_id").alias("doc_a"), PF.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(PF.col("doc_id").alias("doc_b"), PF.col("n").alias("n_b")), "doc_b")
+    )
+    jac = PF.coalesce(PF.col("n_common"), PF.lit(0)) / (
+        PF.col("n_a") + PF.col("n_b") - PF.coalesce(PF.col("n_common"), PF.lit(0))
+    )
+    return exact.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        PF.round(jac, 6).alias("exact_jaccard"),
+        (PF.abs(PF.col("est_jaccard") - jac) <= 0.375).alias("within_bound"),
+    )

@@ -724,3 +724,99 @@ def wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("wau") / F.col("mau"), 6).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# day-of-week seasonality index per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dow_seasonality",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, sum(n) * 1.0 / count(*) AS mean_n FROM counts GROUP BY 1
+)
+SELECT c.event_type, c.dow, CAST(c.n AS BIGINT) AS n,
+       round(c.n / b.mean_n, 6) AS seasonality_idx
+FROM counts c JOIN base b USING (event_type)
+""",
+)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: each (type, weekday)'s volume
+    relative to that type's average weekday — >1 is a hot day
+    (dow is Spark's Sunday=1..Saturday=7; DuckDB's 0-based dayofweek
+    shifts by one in the oracle). The
+    capacity-planning signal behind "when do changes surge?"
+    (the reference's Kinesis shard count and Lambda concurrency are
+    static, subscriber.yaml:10-13 — this is the query that says
+    whether static is wasteful).
+
+    Plan: one map-side-partial aggregate to |types x 7| rows;
+    everything after (the per-type mean and the ratio join) runs on
+    that constant-size relation."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count("*").alias("n"))
+    base = counts.groupBy("event_type").agg(
+        (F.sum("n") / F.count("*")).alias("mean_n")
+    )
+    return counts.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "dow",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("mean_n"), 6).alias("seasonality_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weekly growth accounting: new vs returning actives
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weekly_new_returning",
+    oracle=f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // {WEEK_MS} AS wk FROM events
+),
+first_seen AS (SELECT user_id, min(wk) AS wk0 FROM uw GROUP BY user_id)
+SELECT CAST(u.wk AS BIGINT) AS wk,
+       CAST(count(*) FILTER (WHERE u.wk = f.wk0) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (WHERE u.wk > f.wk0) AS BIGINT) AS returning_users
+FROM uw u JOIN first_seen f USING (user_id)
+GROUP BY u.wk
+""",
+)
+def weekly_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: actives split into NEW (first-ever
+    week) vs RETURNING — the companion to `cohort_retention` (that
+    one follows a cohort forward; this reads each week's composition)
+    and the denominator discipline behind every growth chart.
+
+    Plan: user-week dedup shuffles once on the pair; first-seen is a
+    map-side-partial min on the same relation; the classify join runs
+    user-keyed on already-deduplicated rows and the final aggregate
+    is conditional counts to |weeks| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.expr(f"unix_millis(ts) div {WEEK_MS}").alias("wk")
+    ).distinct()
+    first_seen = uw.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    return (
+        uw.join(first_seen, "user_id")
+        .groupBy(F.col("wk").cast("bigint").alias("wk"))
+        .agg(
+            F.count(F.when(F.col("wk") == F.col("wk0"), 1))
+            .cast("bigint")
+            .alias("new_users"),
+            F.count(F.when(F.col("wk") > F.col("wk0"), 1))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )
