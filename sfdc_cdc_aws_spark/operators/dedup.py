@@ -1076,8 +1076,19 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             PF.round(matches / N_HASHES, 6).alias("est_jaccard"),
         )
     )
-    # exact 3-shingle Jaccard, computed only for the candidate pairs
-    d = load_table(spark, sf_dir, "documents")
+    # exact 3-shingle Jaccard, computed only for the candidate pairs.
+    # The candidate-doc semi-filter sits ABOVE the explode by
+    # necessity (Catalyst won't push a join below a generator), so
+    # apply it to the DOCUMENTS scan first — shingling the whole
+    # corpus to then keep 2|cand| docs cost ~6 s of pure explode.
+    cand_docs = (
+        cand.select(PF.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(PF.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = load_table(spark, sf_dir, "documents").join(
+        PF.broadcast(cand_docs), "doc_id", "left_semi"
+    )
     t = tokens_col()
     sh = (
         d.where(PF.size(t) >= 3)
