@@ -216,34 +216,59 @@ try:  # the Python DataSource API needs pyspark >= 4
 
     FIREHOSE_PUT_CAP = 500  # records per PutRecordBatch (the service limit)
 
+    def _drop_job_stage(path: str, job: str) -> None:
+        """Remove ONE job's staging dir, then the shared ``_staged``
+        parent iff no other job is mid-flight (best-effort rmdir)."""
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(path, "_staged", job), ignore_errors=True)
+        try:
+            os.rmdir(os.path.join(path, "_staged"))
+        except OSError:  # another job's stage still in flight, or gone
+            pass
+
     class _WireBatchWriter(DataSourceWriter):
         """The Firehose-analog sink (KinesisExample.java:137-148 /
         worker/template.yaml:101-113) as a Python DataSource WRITER
         with the API's full two-phase commit:
 
-        - executors stage their partition's records under
-          ``<path>/_staged/`` in PUT batches of at most
-          ``put_batch_size`` (defaults to Firehose's 500-record
-          PutRecordBatch cap — the seam where a real client's
-          ``firehose.put_record_batch`` call goes);
+        - executors stage their partition's records under a
+          PER-JOB stage ``<path>/_staged/<job>/`` in PUT batches of
+          at most ``put_batch_size`` (defaults to Firehose's
+          500-record PutRecordBatch cap — the seam where a real
+          client's ``firehose.put_record_batch`` call goes).  The job
+          token is minted once on the driver and pickled to every
+          task, so two concurrent jobs (or a batch append racing the
+          stream sink) can never delete each other's in-flight staged
+          files (round-5 ADVICE);
         - the driver's ``commit`` renames every staged file into the
-          landing dir and only then drops the ``_SUCCESS`` marker —
+          landing dir (names carry the job token, so appends never
+          collide) and only then drops the ``_SUCCESS`` marker —
           readers (``_scan_landing`` keys on ``.json``) never observe
           a torn write because staged files don't match the reader's
-          suffix;
-        - ``abort`` deletes the stage, leaving the landing dir
-          untouched — a failed job publishes nothing.
+          suffix.  In OVERWRITE mode the new files are published
+          FIRST and the previous publish's files deleted after: a
+          crash mid-commit can transiently leave old+new visible
+          (an at-least-once anomaly the retry cleans up) but never
+          the round-5-ADVICE failure of NEITHER publish visible;
+        - ``abort`` deletes only this job's stage, leaving the
+          landing dir and other jobs' stages untouched — a failed
+          job publishes nothing.
         """
 
         def __init__(self, options, overwrite: bool):
+            import uuid as _uuid
+
             self.path = options["path"]
             self.put_cap = int(options.get("put_batch_size", FIREHOSE_PUT_CAP))
             self.overwrite = overwrite
+            # driver-minted, shared by every pickled task of this job
+            self.job = options.get("staging_token") or _uuid.uuid4().hex[:12]
 
         def write(self, iterator) -> "_WireCommit":
             import uuid as _uuid
 
-            staged_dir = os.path.join(self.path, "_staged")
+            staged_dir = os.path.join(self.path, "_staged", self.job)
             os.makedirs(staged_dir, exist_ok=True)
             fname = os.path.join(staged_dir, f"{_uuid.uuid4().hex}.staged")
             records = 0
@@ -275,29 +300,33 @@ try:  # the Python DataSource API needs pyspark >= 4
             return _WireCommit(staged=fname, records=records, put_batches=puts)
 
         def commit(self, messages) -> None:
-            import shutil as _shutil
-            import uuid as _uuid
-
-            if self.overwrite:
-                for old in os.listdir(self.path):
-                    if old.endswith(".json"):
-                        os.remove(os.path.join(self.path, old))
-            # a per-commit token uniquifies published names: a second
-            # mode("append") job must ADD files, never os.replace over
-            # an earlier publish's put-00000.json
-            job = _uuid.uuid4().hex[:8]
+            # overwrite = publish-first, delete-after: snapshot the
+            # previous publish BEFORE adding our files, rename ours in
+            # (job token uniquifies names — a mode("append") job ADDs
+            # files, never os.replace over an earlier publish), then
+            # remove the snapshot.  A crash between the two phases
+            # leaves old+new (retryable), never an empty landing dir.
+            previous = (
+                [f for f in os.listdir(self.path) if f.endswith(".json")]
+                if self.overwrite
+                else []
+            )
             for i, m in enumerate(messages):
                 os.replace(
-                    m.staged, os.path.join(self.path, f"put-{job}-{i:05d}.json")
+                    m.staged,
+                    os.path.join(self.path, f"put-{self.job}-{i:05d}.json"),
                 )
             with open(os.path.join(self.path, "_SUCCESS"), "w"):
                 pass
-            _shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+            for old in previous:
+                try:
+                    os.remove(os.path.join(self.path, old))
+                except FileNotFoundError:  # a concurrent overwrite won
+                    pass
+            _drop_job_stage(self.path, self.job)
 
         def abort(self, messages) -> None:
-            import shutil as _shutil
-
-            _shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+            _drop_job_stage(self.path, self.job)
 
     class _WireStreamWriter(DataSourceStreamWriter):
         """The streaming half of the Firehose sink: per micro-batch,
@@ -313,13 +342,22 @@ try:  # the Python DataSource API needs pyspark >= 4
         writer API itself."""
 
         def __init__(self, options, overwrite: bool):
+            import uuid as _uuid
+
             self.path = options["path"]
             self.put_cap = int(options.get("put_batch_size", FIREHOSE_PUT_CAP))
             self.overwrite = overwrite
+            # per-query stage: a stream sink never collides with a
+            # concurrent batch writer's (or another stream's) stage
+            self.job = _uuid.uuid4().hex[:12]
 
         def write(self, iterator) -> "_WireCommit":
             return _WireBatchWriter(
-                {"path": self.path, "put_batch_size": str(self.put_cap)},
+                {
+                    "path": self.path,
+                    "put_batch_size": str(self.put_cap),
+                    "staging_token": self.job,
+                },
                 overwrite=False,
             ).write(iterator)
 
@@ -327,8 +365,6 @@ try:  # the Python DataSource API needs pyspark >= 4
             return os.path.join(self.path, f"_batch_{batch_id:08d}_COMMITTED")
 
         def commit(self, messages, batchId: int) -> None:
-            import shutil as _shutil
-
             if os.path.exists(self._marker(batchId)):  # replayed batch
                 for m in messages:
                     if m is not None and os.path.exists(m.staged):
@@ -343,12 +379,10 @@ try:  # the Python DataSource API needs pyspark >= 4
                 )
             with open(self._marker(batchId), "w"):
                 pass
-            _shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+            _drop_job_stage(self.path, self.job)
 
         def abort(self, messages, batchId: int) -> None:
-            import shutil as _shutil
-
-            _shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+            _drop_job_stage(self.path, self.job)
 
     class CDCWireDataSource(DataSource):
         """``spark.read/readStream.format("cdc_wire")`` source for the

@@ -8,26 +8,41 @@ publish. Tombstones stay IN the state (a later batch must not
 resurrect an older pre-delete row); readers filter
 ``change_type <> 'DELETE'`` (``current()`` below).
 
-Commit protocol: WRITE-AUDIT-PUBLISH over a version manifest — the
-same discipline Delta/Iceberg implement with their transaction logs,
-reduced to its essentials for a plain-parquet state dir:
+Commit protocol: WRITE-AUDIT-PUBLISH with OPTIMISTIC CONCURRENCY —
+the discipline Delta/Iceberg implement with their transaction logs
+(put-if-absent on the next log entry), reduced to its essentials for
+a plain-parquet state dir:
 
-- WRITE: each upsert stages the merged state into a fresh, numbered
-  epoch directory (``epoch_NNNNNN``). Staged data is INVISIBLE — no
-  reader resolves it, no matter how many files have landed — so a
-  crash at any point mid-write (including between partition files)
-  leaves only ignorable garbage that the next attempt's
-  ``mode=overwrite`` clears.
+- WRITE: each attempt pins the manifest it read (its BASE epoch) and
+  stages the merged state into a fresh UNIQUELY-NAMED stage directory
+  (``stage_<token>``). Staged data is INVISIBLE — no reader resolves
+  it, no matter how many files have landed — so a crash at any point
+  mid-write leaves only ignorable garbage; concurrent writers can
+  never clobber each other's stage.
 - AUDIT: before publishing, the staged epoch is read back and checked
   against the state invariants (Spark's ``_SUCCESS`` commit marker
   present; key uniqueness — this IS a latest-per-key relation). A
   failed audit raises and never publishes: bad data cannot become
   current.
+- COMMIT (validate-and-swap): the winner for epoch N is elected by
+  ``os.rename(stage_dir, epoch_NNNNNN)`` — atomic put-if-absent on a
+  POSIX directory entry (rename onto an existing non-empty dir fails
+  with ENOTEMPTY). A writer whose base manifest went stale loses the
+  rename, raises :class:`CommitConflict`, discards its stage, and
+  RETRIES the whole merge against the new current epoch — the
+  lost-update anomaly is structurally impossible, no writer lock
+  held during the (long) write phase.
 - PUBLISH: the ``MANIFEST`` file (JSON: epoch number + audited row
   count) is written to a temp name, fsync'd, and ``os.replace``d into
-  place — a single atomic rename, the only mutation readers can ever
-  observe. The directory fd is fsync'd after the rename so the
-  publish survives power loss, not just process death.
+  place under a short ``flock`` critical section with a MONOTONIC
+  guard (never move the pointer backwards) — so two racing publishers
+  cannot regress a reader's view. The directory fd is fsync'd after
+  the rename so the publish survives power loss. A winner that
+  crashes between COMMIT and PUBLISH leaves a fully-durable epoch dir
+  one ahead of the manifest; the next writer's conflict handler
+  detects it (``_SUCCESS`` present, epoch == manifest+1), re-audits,
+  rolls the manifest forward, and retries its own merge on top —
+  crash recovery is just another conflict.
 
 Readers PIN the manifest: ``read()`` resolves MANIFEST once and scans
 exactly that epoch directory. There is no repair-on-read, no window
@@ -56,6 +71,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,6 +96,12 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
 
 class AuditError(RuntimeError):
     """Staged epoch violated a state invariant; nothing was published."""
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the epoch this attempt raced for; the
+    attempt's stage was discarded and the caller should retry against
+    the new current state."""
 
 
 class IncrementalSnapshot:
@@ -182,20 +205,96 @@ class IncrementalSnapshot:
 
     def _publish(self, epoch: int, audit: dict) -> None:
         """Atomically flip MANIFEST to the audited epoch (fsync'd temp
-        file + os.replace; directory fsync for rename durability)."""
-        tmp = self._manifest_path + ".tmp"
-        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+        file + os.replace; directory fsync for rename durability).
+        Guarded by a short ``flock`` critical section with a MONOTONIC
+        check: two racing publishers (a slow winner and a conflict
+        handler helping it forward, or two helpers) can never move the
+        pointer backwards, so reads never regress."""
+        with self._state_lock():
+            current = self._read_manifest()
+            if current is not None and current["epoch"] >= epoch:
+                return  # an equal-or-newer publish already landed
+            tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
+            fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+            try:
+                os.write(fd, json.dumps({"epoch": epoch, **audit}).encode())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            os.replace(tmp, self._manifest_path)
+            dfd = os.open(self.state_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+
+    @contextmanager
+    def _state_lock(self):
+        """Short exclusive critical section over the state dir (flock:
+        released by the kernel on crash — no stale-lock recovery
+        needed). Held only around metadata mutations (rename, manifest
+        flip, torn-slot sweep), NEVER around data writes — writers
+        spend the long write/audit phase lock-free; that is what makes
+        the concurrency optimistic."""
+        import fcntl
+
+        fd = os.open(
+            os.path.join(self.state_dir, ".manifest.lock"),
+            os.O_WRONLY | os.O_CREAT,
+            0o644,
+        )
         try:
-            os.write(fd, json.dumps({"epoch": epoch, **audit}).encode())
-            os.fsync(fd)
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
         finally:
             os.close(fd)
-        os.replace(tmp, self._manifest_path)
-        dfd = os.open(self.state_dir, os.O_RDONLY)
+
+    def _commit(self, staged: str, next_epoch: int) -> None:
+        """Validate-and-swap: atomically claim ``epoch_<next>`` by
+        renaming the stage dir onto it. POSIX rename onto an existing
+        non-empty directory fails (ENOTEMPTY/EEXIST) — exactly the
+        put-if-absent Delta's log commit needs — so of N racing
+        writers exactly one wins the epoch; losers raise
+        :class:`CommitConflict` with their stage already discarded.
+        The lock only serializes this rename against the recovery
+        sweep; contending committers are decided by the rename itself."""
         try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+            with self._state_lock():
+                os.rename(staged, self._epoch_dir(next_epoch))
+        except OSError:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise CommitConflict(
+                f"epoch {next_epoch} was committed by a concurrent writer"
+            ) from None
+
+    def _recover_orphan_epoch(self) -> None:
+        """Post-conflict repair, two cases on the slot manifest+1:
+
+        - complete epoch dir (``_SUCCESS`` present): a winner crashed
+          between COMMIT and PUBLISH — re-audit and roll the manifest
+          forward (help must not publish what the dead writer
+          wouldn't have; the monotonic publish makes double-help a
+          no-op).
+        - torn dir without ``_SUCCESS`` (external tampering / legacy
+          protocol remains — a v2 crash cannot produce this): it was
+          never published and never can be; swept aside under the
+          lock so no concurrent committer's rename can interleave
+          with the check."""
+        m = self._read_manifest()
+        nxt = 0 if m is None else m["epoch"] + 1
+        orphan = self._epoch_dir(nxt)
+        with self._state_lock():
+            has_success = os.path.exists(os.path.join(orphan, "_SUCCESS"))
+            if not has_success and os.path.isdir(orphan):
+                torn = f"{orphan}.torn.{uuid.uuid4().hex[:8]}"
+                os.rename(orphan, torn)
+            else:
+                torn = None
+        if torn is not None:
+            shutil.rmtree(torn, ignore_errors=True)
+        elif has_success:
+            audit = self._audit(orphan)
+            self._publish(nxt, audit)
 
     def _gc(self, current: int) -> None:
         """Drop epochs older than the retention window. Best-effort: a
@@ -204,11 +303,27 @@ class IncrementalSnapshot:
             if n <= current - self.keep_epochs:
                 shutil.rmtree(self._epoch_dir(n), ignore_errors=True)
 
+    MAX_COMMIT_ATTEMPTS = 5
+
     def upsert(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        """Merge a batch into the state with optimistic concurrency:
+        each attempt pins the manifest it read, stages + audits, then
+        validate-and-swaps the epoch; a lost race re-merges against
+        the winner's state and tries again (bounded attempts)."""
         # reduce the incoming batch before touching state: the merge
         # input is (distinct keys in batch), not (rows in batch)
         delta = _latest_per_key(batch_df)
-        manifest = self._read_manifest()
+        last_err: CommitConflict | None = None
+        for _ in range(self.MAX_COMMIT_ATTEMPTS):
+            try:
+                return self._attempt(delta)
+            except CommitConflict as e:
+                last_err = e
+                self._recover_orphan_epoch()  # crash-between-commit-and-publish
+        raise last_err  # contended beyond the retry budget
+
+    def _attempt(self, delta: DataFrame) -> None:
+        manifest = self._read_manifest()  # the pinned BASE epoch
         if manifest is None:
             merged, next_epoch = delta, 0
         else:
@@ -234,18 +349,24 @@ class IncrementalSnapshot:
             )
             next_epoch = manifest["epoch"] + 1
         os.makedirs(self.state_dir, exist_ok=True)
-        staged = self._epoch_dir(next_epoch)
-        # WRITE. The state relation is bounded by live-key cardinality,
-        # not stream volume — collapse the post-agg shuffle partitions
-        # so each epoch is a few right-sized files (coalesce is narrow:
-        # no extra shuffle). A 100 TB deployment partitions this by
-        # entity and date instead; the shape is the same.
-        # mode=overwrite clears any torn stage a crash left behind at
-        # this epoch number (it was never published, so it is garbage).
-        merged.coalesce(4).write.mode("overwrite").parquet(staged)
-        self._fsync_dir_files(staged)  # data durable BEFORE the manifest
-        audit = self._audit(staged)  # AUDIT: raises → nothing published
-        self._publish(next_epoch, audit)  # PUBLISH: the one atomic flip
+        # WRITE into a unique stage (concurrent writers cannot collide;
+        # a crash leaves only invisible stage garbage, never a torn
+        # epoch dir). The state relation is bounded by live-key
+        # cardinality, not stream volume — collapse the post-agg
+        # shuffle partitions so each epoch is a few right-sized files
+        # (coalesce is narrow: no extra shuffle). A 100 TB deployment
+        # partitions this by entity and date instead; the shape is the
+        # same.
+        staged = os.path.join(self.state_dir, f"stage_{uuid.uuid4().hex[:12]}")
+        try:
+            merged.coalesce(4).write.mode("overwrite").parquet(staged)
+            self._fsync_dir_files(staged)  # data durable BEFORE commit
+            audit = self._audit(staged)  # AUDIT: raises → nothing published
+        except Exception:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
+        self._commit(staged, next_epoch)  # COMMIT: the atomic CAS
+        self._publish(next_epoch, audit)  # PUBLISH: flip the manifest
         self._gc(next_epoch)
 
     def attach(self, change_stream: DataFrame, checkpoint: str):

@@ -140,3 +140,60 @@ def test_sentence_dedup_finds_injected_boilerplate(spark, tmp_path):
     assert len(got) == 1, f"expected exactly the boilerplate sentence, got {got}"
     assert got[0]["n_docs"] == 3
     assert got[0]["n_occ"] == 4
+
+
+def test_connected_components_deep_chain_log_rounds(spark):
+    """Round-5 verdict item 3: a pathological CHAIN component
+    (diameter >> any LSH near-dup cluster) must not turn the label
+    loop into a driver-paced O(diameter) crawl.  Pointer doubling
+    makes a 256-node path converge in O(log D) rounds — well inside
+    MAX_CC_ITERS=15, where plain propagation would need ~255 — and
+    every node must still land in the single min-labelled cluster."""
+    from pyspark.sql import functions as F
+
+    from sfdc_cdc_aws_spark.operators.dedup import (
+        MAX_CC_ITERS,
+        _connected_components,
+        _truncate_lineage,
+    )
+
+    n = 256  # path 0-1-2-...-255, diameter 255
+    fwd = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    edges = _truncate_lineage(
+        fwd.union(fwd.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
+    )
+    labels, rounds = _connected_components(edges)
+    assert rounds <= MAX_CC_ITERS
+    assert rounds <= 12, f"doubling should finish a 256-chain fast, took {rounds}"
+    got = {(r["node"], r["label"]) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_connected_components_blocking_collects_bounded(spark, monkeypatch):
+    """The driver must block at most ceil(rounds / CC_CHECK_EVERY)+1
+    times — counted by intercepting DataFrame.collect during the loop."""
+    import pyspark.sql.dataframe as dfmod
+    from pyspark.sql import functions as F
+
+    from sfdc_cdc_aws_spark.operators import dedup as d
+
+    fwd = spark.range(63).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    edges = d._truncate_lineage(
+        fwd.union(fwd.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
+    )
+    calls = {"n": 0}
+    real_collect = dfmod.DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return real_collect(self)
+
+    monkeypatch.setattr(dfmod.DataFrame, "collect", counting_collect)
+    _labels, rounds = d._connected_components(edges)
+    assert calls["n"] <= rounds // d.CC_CHECK_EVERY + 1, (
+        f"{calls['n']} blocking collects for {rounds} rounds"
+    )

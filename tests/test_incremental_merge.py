@@ -191,3 +191,88 @@ def test_additive_schema_evolution_widens_state(spark, tmp_path):
         snap.upsert(ch.limit(200))
     assert snap._read_manifest() == before
     assert "change_origin" in snap.read().columns
+
+
+def test_concurrent_writers_no_lost_update(spark, tmp_path):
+    """Round-5 verdict item 4 (the Delta/Iceberg capability gap): two
+    writers racing the same epoch — the classic lost-update interleave
+    (A pins base, B commits first, A commits) must end with BOTH
+    deltas in the state.  B's publish is injected between A's pin and
+    A's commit; A must lose the validate-and-swap, retry against B's
+    epoch, and land on top of it."""
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "state")
+    snap_a = IncrementalSnapshot(spark, state, keep_epochs=5)
+    snap_b = IncrementalSnapshot(spark, state, keep_epochs=5)
+    ch = changes(spark, SF)
+    snap_a.upsert(ch)  # epoch 0: the full feed
+    base_keys = snap_a.read().count()
+
+    far = 9_999_999_999_999  # beyond every feed commit_ts_ms → always wins max_by
+    keys = [tuple(r) for r in ch.select("entity_name", "uid").distinct().limit(2).collect()]
+    (ea, ua), (eb, ub) = keys[0], keys[1]
+
+    def bump(entity, uid, ts):
+        return (
+            ch.where((F.col("entity_name") == entity) & (F.col("uid") == uid))
+            .limit(1)
+            .withColumn("commit_ts_ms", F.lit(ts).cast("long"))
+            .withColumn("change_type", F.lit("UPDATE"))
+        )
+
+    delta_a, delta_b = bump(ea, ua, far), bump(eb, ub, far + 1)
+
+    orig_commit = snap_a._commit
+    injected = {"done": False}
+
+    def racing_commit(staged, next_epoch):
+        if not injected["done"]:
+            injected["done"] = True
+            snap_b.upsert(delta_b)  # B wins epoch 1 while A holds its stage
+        return orig_commit(staged, next_epoch)
+
+    snap_a._commit = racing_commit
+    snap_a.upsert(delta_a)  # must conflict once, retry, land on epoch 2
+
+    assert json.load(open(snap_a._manifest_path))["epoch"] == 2
+    cur = snap_a.current()
+    got_a = cur.where(
+        (F.col("entity_name") == ea) & (F.col("uid") == ua)
+    ).collect()
+    got_b = cur.where(
+        (F.col("entity_name") == eb) & (F.col("uid") == ub)
+    ).collect()
+    assert got_a[0]["commit_ts_ms"] == far, "A's update missing"
+    assert got_b[0]["commit_ts_ms"] == far + 1, "B's update LOST to the race"
+    # upserts replace rows per key — the key cardinality is unchanged
+    assert snap_a.read().count() == base_keys
+    # and the loser's abandoned stage was discarded — no stage litter
+    assert [d for d in os.listdir(state) if d.startswith("stage_")] == []
+
+
+def test_crash_between_commit_and_publish_recovers(spark, tmp_path, monkeypatch):
+    """A winner dying AFTER the epoch-dir CAS but BEFORE the manifest
+    flip leaves a complete durable epoch one ahead of the manifest.
+    The next writer's conflict handler must re-audit it, roll the
+    manifest forward, then land its own merge on top — crash recovery
+    is just another conflict."""
+    snap = IncrementalSnapshot(spark, str(tmp_path / "state"))
+    ch = changes(spark, SF)
+    snap.upsert(ch.limit(500))
+
+    monkeypatch.setattr(
+        IncrementalSnapshot,
+        "_publish",
+        lambda self, e, a: (_ for _ in ()).throw(OSError("die pre-publish")),
+    )
+    with pytest.raises(OSError, match="die pre-publish"):
+        snap.upsert(ch.limit(900))
+    monkeypatch.undo()
+    # committed-but-unpublished: epoch 1 on disk, manifest pinned to 0
+    assert os.path.exists(os.path.join(snap._epoch_dir(1), "_SUCCESS"))
+    assert json.load(open(snap._manifest_path))["epoch"] == 0
+
+    snap.upsert(ch)  # conflict → recover orphan epoch 1 → merge → epoch 2
+    assert json.load(open(snap._manifest_path))["epoch"] == 2
+    assert _state_rows(snap) == _flagship_rows(spark)

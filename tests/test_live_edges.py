@@ -425,3 +425,79 @@ def test_second_append_adds_instead_of_clobbering(spark, sf_dir, tmp_path):
     b.write.format("cdc_wire").mode("append").option("path", out).save()
     back = spark.read.format("cdc_wire").option("path", out).load()
     assert back.count() == a.count() + b.count()
+
+
+def _fake_wire_row(i):
+    """A minimal valid wire record: base64(JSON envelope) with a
+    replayId — what _scan_file insists on."""
+    import base64 as _b64
+    import json as _json
+    import types as _types
+
+    env = _json.dumps({"event": {"replayId": int(i)}, "payload": {"Id": f"x{i}"}})
+    return _types.SimpleNamespace(
+        partitionKey=f"pk{i}", data=_b64.b64encode(env.encode()).decode()
+    )
+
+
+def test_concurrent_writers_isolated_stages(tmp_path):
+    """Round-5 ADVICE: two interleaved jobs (e.g. a batch append racing
+    the stream sink) must not delete each other's in-flight staged
+    files.  w1 commits while w2 is mid-flight; w2's stage survives and
+    its commit publishes — no innocent-job os.replace failure."""
+    from sfdc_cdc_aws_spark.sources.live import _WireBatchWriter, _scan_landing
+
+    Row = _fake_wire_row
+
+    out = str(tmp_path / "landing")
+    os.makedirs(out)
+    w1 = _WireBatchWriter({"path": out}, overwrite=False)
+    w2 = _WireBatchWriter({"path": out}, overwrite=False)
+    m1 = w1.write(iter([Row(i) for i in range(5)]))
+    m2 = w2.write(iter([Row(i) for i in range(100, 103)]))
+    w1.commit([m1])  # must clean ONLY w1's stage
+    assert os.path.exists(m2.staged), "w1.commit deleted w2's staged file"
+    w2.commit([m2])  # succeeds: both publishes land
+    assert len(_scan_landing(out)) == 8
+    # and an abort on a third writer leaves the landing dir untouched
+    w3 = _WireBatchWriter({"path": out}, overwrite=False)
+    m3 = w3.write(iter([Row(7)]))
+    w3.abort([m3])
+    assert len(_scan_landing(out)) == 8
+
+
+def test_overwrite_commit_publishes_before_deleting(tmp_path, monkeypatch):
+    """Round-5 ADVICE: overwrite must rename the new publish in FIRST
+    and delete the old one after — a crash mid-commit leaves old+new
+    (retryable), never an empty landing dir.  Simulated by crashing
+    the commit right after the publish loop (before old-file removal):
+    both publishes visible; the delete-old phase never ran."""
+    from sfdc_cdc_aws_spark.sources.live import _WireBatchWriter, _scan_landing
+
+    Row = _fake_wire_row
+
+    out = str(tmp_path / "landing")
+    os.makedirs(out)
+    w0 = _WireBatchWriter({"path": out}, overwrite=False)
+    w0.commit([w0.write(iter([Row(i) for i in range(4)]))])
+    assert len(_scan_landing(out)) == 4
+
+    w1 = _WireBatchWriter({"path": out}, overwrite=True)
+    m1 = w1.write(iter([Row(i) for i in range(10, 13)]))
+    real_remove = os.remove
+    calls = {"n": 0}
+
+    def crashing_remove(p):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before delete-old phase")
+
+    monkeypatch.setattr(os, "remove", crashing_remove)
+    with pytest.raises(RuntimeError):
+        w1.commit([m1])
+    monkeypatch.setattr(os, "remove", real_remove)
+    # the new publish landed BEFORE the crash: never an empty dir
+    assert len(_scan_landing(out)) == 7  # old 4 + new 3, retry cleans up
+    # a clean retry-style overwrite converges to new-only
+    w2 = _WireBatchWriter({"path": out}, overwrite=True)
+    w2.commit([w2.write(iter([Row(i) for i in range(10, 13)]))])
+    assert len(_scan_landing(out)) == 3

@@ -64,7 +64,16 @@ def test_rotation_is_permutation_of_registry():
     assert order_keys == sorted(order_keys), "rotation not least-recently-verified"
     oracles = e.oracle_sql()
     assert sorted(k for k in keys if k not in oracles) == []
-    # the upgraded sketch keys lost their rows-only credit and must
-    # sit inside the driver's next ~50-key window
-    head = keys[:50]
-    assert "heavy_hitters_sketch" in head and "sketch_suite" in head
+    # Rotation invariant (not a moment-in-time key list): every key
+    # with no hash-green driver row yet sorts before every verified
+    # key, so the driver's ~50-row window always reaches unverified
+    # work first.  (Round-5 verdict: asserting *named* keys in the
+    # head window goes stale the instant the driver verifies them.)
+    unverified = [n for n in keys if last.get(n, -1) < 0]
+    if unverified:
+        worst = max(keys.index(n) for n in unverified)
+        first_verified = min(
+            (keys.index(n) for n in keys if last.get(n, -1) >= 0),
+            default=len(keys),
+        )
+        assert worst < first_verified, "a verified key precedes an unverified one"

@@ -33,7 +33,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 
 # keys whose builders run a streaming drain / sink write and return a
 # materialized (localCheckpoint'd) result — no batch plan to audit
