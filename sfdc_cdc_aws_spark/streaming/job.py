@@ -614,6 +614,99 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_drift_merge",
+    oracle="""
+WITH changes AS (
+  SELECT event_type AS entity_name,
+         printf('00D%015d', uid) AS record_id,
+         uid, event_id AS replay_id,
+         CASE WHEN event_id % 15 = 0 THEN 'UNDELETE'
+              WHEN event_id % 3 = 0 THEN 'CREATE'
+              WHEN event_id % 3 = 1 THEN 'UPDATE'
+              ELSE 'DELETE' END AS change_type,
+         epoch_ms(ts) AS commit_ts_ms, props
+  FROM events, unnest(CASE WHEN event_id % 5 = 0
+                           THEN [user_id, user_id + 1000000]
+                           ELSE [user_id] END) AS t(uid)
+),
+w AS (
+  SELECT *, CASE WHEN replay_id > (SELECT max(event_id) // 2 FROM events)
+                 THEN props || '-t' END AS tier__c
+  FROM changes
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY entity_name, uid
+                               ORDER BY commit_ts_ms DESC, replay_id DESC) AS rn
+  FROM w
+)
+SELECT entity_name, record_id, change_type AS uind, commit_ts_ms, props, tier__c
+FROM ranked WHERE rn = 1 AND change_type <> 'DELETE'
+""",
+)
+def cdc_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift under the incremental merge, registered end to end
+    (round-5 verdict item 7 / SURVEY.md §1.3): halfway through the
+    replay (replay_id > max/2) the payload map gains a field
+    (``tier__c``), each micro-batch runtime-discovers the fields
+    actually present (streaming/drift.py — the describe() analog,
+    app.py:115-118), and the state widens ADDITIVELY at the next
+    publish: keys last touched pre-drift carry NULL, old epochs stay
+    readable. The oracle replays the same latest-per-key fixpoint with
+    the drift applied by predicate — correctness must not depend on
+    where micro-batch boundaries fell."""
+    from sfdc_cdc_aws_spark.streaming.drift import (
+        attach_with_drift,
+        parse_wire_fields,
+    )
+    from sfdc_cdc_aws_spark.streaming.merge import IncrementalSnapshot
+
+    landing = ensure_landing(spark, sf_dir)
+    cut = load_table(spark, sf_dir, "events").agg(
+        (F.max("event_id") / 2).cast("long")
+    ).collect()[0][0]  # scalar split point — metadata, not data
+    run_id = uuid.uuid4().hex[:8]
+    snap = IncrementalSnapshot(spark, f"/tmp/sfdc_cdc_drift/{run_id}/state")
+    wire = spark.readStream.schema(WIRE_SCHEMA).option(
+        "maxFilesPerTrigger", 8
+    ).json(landing)
+    st = (
+        parse_wire_fields(wire)
+        .withWatermark("commit_ts", REPLAY_DEDUP_HORIZON)
+        .dropDuplicates(["replay_id", "record_id"])
+        .withColumn(
+            "fields",
+            F.when(
+                F.col("replay_id") > F.lit(cut),
+                F.map_concat(
+                    "fields",
+                    F.create_map(
+                        F.lit("tier__c"),
+                        F.concat(F.col("fields")["props"], F.lit("-t")),
+                    ),
+                ),
+            ).otherwise(F.col("fields")),
+        )
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = attach_with_drift(snap, st, f"/tmp/sfdc_cdc_drift/{run_id}/ckpt")
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    result = snap.current().select(
+        "entity_name",
+        "record_id",
+        F.col("change_type").alias("uind"),
+        "commit_ts_ms",
+        "props",
+        "tier__c",
+    ).localCheckpoint()
+    shutil.rmtree(f"/tmp/sfdc_cdc_drift/{run_id}", ignore_errors=True)
+    return result
+
+
+@query(
     "cdc_stream_stream_join",
     oracle=None,  # set below from the shared CHANGES_CTE
 )

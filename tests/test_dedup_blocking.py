@@ -194,6 +194,9 @@ def test_connected_components_blocking_collects_bounded(spark, monkeypatch):
 
     monkeypatch.setattr(dfmod.DataFrame, "collect", counting_collect)
     _labels, rounds = d._connected_components(edges)
-    assert calls["n"] <= rounds // d.CC_CHECK_EVERY + 1, (
-        f"{calls['n']} blocking collects for {rounds} rounds"
+    allowed = sum(1 for r in range(1, rounds + 1) if d._cc_check_round(r)) + 1
+    assert calls["n"] <= allowed, (
+        f"{calls['n']} blocking collects for {rounds} rounds (allowed {allowed})"
     )
+    # the deep-chain guarantee: blocks stay logarithmic, not O(diameter)
+    assert calls["n"] < 64
