@@ -90,18 +90,21 @@ def attach_with_drift(snap, change_stream: DataFrame, checkpoint: str):
     widen the map into columns, and merge — the state schema then
     evolves additively exactly when the feed does."""
 
+    # STICKY projection: once a field is known to the state, every
+    # later batch keeps projecting it (NULL where absent). Without
+    # this, a batch that happens to contain only pre-drift events
+    # AFTER the drift was merged would look like a column DROP and
+    # be rejected by the additive-only audit — micro-batch order
+    # from a file source is not replay order, and correctness must
+    # not depend on where batch boundaries fell. Seeded from the
+    # existing state once (resume case), then maintained in memory.
+    known: set[str] = set()
+    if snap.exists():
+        known |= set(snap.read().columns) - set(BASE_COLS)
+
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # STICKY projection: once a field is known to the state, every
-        # later batch keeps projecting it (NULL where absent). Without
-        # this, a batch that happens to contain only pre-drift events
-        # AFTER the drift was merged would look like a column DROP and
-        # be rejected by the additive-only audit — micro-batch order
-        # from a file source is not replay order, and correctness must
-        # not depend on where batch boundaries fell.
-        keys = set(discovered_field_keys(batch_df))
-        if snap.exists():
-            keys |= set(snap.read().columns) - set(BASE_COLS)
-        snap.upsert(widen_payload(batch_df, sorted(keys)), epoch_id)
+        known.update(discovered_field_keys(batch_df))
+        snap.upsert(widen_payload(batch_df, sorted(known)), epoch_id)
 
     return (
         change_stream.writeStream.foreachBatch(write_batch)

@@ -204,6 +204,39 @@ def enriched_union(ch: DataFrame, snapshot: DataFrame) -> DataFrame:
     return tombstones.unionByName(upserts, allowMissingColumns=True)
 
 
+#: observability: stateOperators summary of the most recent drain per
+#: name_prefix (rows/bytes/batches) — what a production job exports as
+#: metrics, captured here from StreamingQuery.recentProgress so the
+#: scale harness (tools/stream_scale_bench.py) can assert state grows
+#: with keys-in-watermark, not history.
+LAST_DRAIN_STATE: dict[str, dict] = {}
+
+
+def _capture_state_metrics(q, name_prefix: str) -> None:
+    import json as _json
+
+    per_batch = []
+    try:
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else _json.loads(p.json)
+            ops = d.get("stateOperators") or []
+            if ops:
+                per_batch.append(
+                    (
+                        sum(o.get("numRowsTotal", 0) for o in ops),
+                        sum(o.get("memoryUsedBytes", 0) for o in ops),
+                    )
+                )
+    except Exception:  # metrics are best-effort observability
+        return
+    if per_batch:
+        LAST_DRAIN_STATE[name_prefix] = {
+            "batches": len(per_batch),
+            "max_state_rows": max(r for r, _ in per_batch),
+            "max_state_bytes": max(b for _, b in per_batch),
+        }
+
+
 def run_available_now(
     stream_df: DataFrame,
     name_prefix: str,
@@ -240,6 +273,7 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+        _capture_state_metrics(q, name_prefix)
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)

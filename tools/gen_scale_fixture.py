@@ -110,11 +110,57 @@ def derive_events(base_dir: str, k: int) -> pa.Table:
     return pa.Table.from_pandas(out, schema=t.schema, preserve_index=False)
 
 
+TPCH_KEY_SHIFTS = {
+    # table -> {column: stride} applied per replica r (key + r*stride);
+    # every foreign key shifts by the SAME stride as its referenced
+    # primary key, so joins stay exact and fan-outs scale linearly.
+    "orders": {"o_orderkey": ID_STRIDE, "o_custkey": ID_STRIDE},
+    "lineitem": {
+        "l_orderkey": ID_STRIDE,
+        "l_partkey": ID_STRIDE,
+        "l_suppkey": ID_STRIDE,
+    },
+    "customer": {"c_custkey": ID_STRIDE},
+    "part": {"p_partkey": ID_STRIDE},
+    "supplier": {"s_suppkey": ID_STRIDE},
+}
+
+
+def derive_tpch(base_dir: str, out: str, k: int) -> dict[str, int]:
+    """K-replicate the TPC-H fact/dim tables with consistent key
+    shifts (nation/region stay shared): the sf1-equivalent lane for
+    the 22 TPC-H keys. Group-by cardinalities (flags, dates, nations)
+    are scale-invariant by construction, exactly like dbgen's."""
+    rows = {}
+    for name, shifts in TPCH_KEY_SHIFTS.items():
+        t = pq.read_table(os.path.join(base_dir, f"{name}.parquet"))
+        src = t.to_pandas()
+        reps = [src]
+        for r in range(1, k):
+            rep = src.copy()
+            for col, stride in shifts.items():
+                rep[col] = rep[col] + r * stride
+            reps.append(rep)
+        out_df = pd.concat(reps, ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(out_df, schema=t.schema, preserve_index=False),
+            os.path.join(out, f"{name}.parquet"),
+        )
+        rows[name] = len(out_df)
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--out", default=".scale/sf1x")
+    ap.add_argument(
+        "--tpch",
+        action="store_true",
+        help="also K-replicate orders/lineitem/customer/part/supplier "
+        "(default: symlink them from the base fixture)",
+    )
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -134,10 +180,13 @@ def main() -> None:
     ev = derive_events(args.base, args.k)
     pq.write_table(ev, os.path.join(out, "events.parquet"))
 
-    for name in (
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem",
-    ):
+    linked = ["region", "nation"]
+    if args.tpch:
+        tpch_rows = derive_tpch(args.base, out, args.k)
+        print(f"tpch x{args.k}: {tpch_rows}")
+    else:
+        linked += ["customer", "supplier", "part", "orders", "lineitem"]
+    for name in linked:
         link = os.path.join(out, f"{name}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(args.base, f"{name}.parquet"), link)

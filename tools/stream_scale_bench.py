@@ -1,0 +1,200 @@
+"""Streaming at 10×: wall AND state-store growth (round-5 item 5).
+
+SCALE_STRESS.json covers the batch keys; STREAM_DRAIN.json the sf0.1
+warm split. This tool re-runs the heaviest STREAMING keys on the 10×
+events fixture (tools/gen_scale_fixture.py → .scale/sf1x) and reports
+the thing a 100 TB operator actually needs: does the STATE STORE grow
+with keys-inside-the-watermark or with history?
+
+Per key × {sf0.1, sf1x}: drain wall seconds plus the state-operator
+metrics Spark publishes in query progress (numRowsTotal /
+memoryUsedBytes, captured by streaming.job.LAST_DRAIN_STATE):
+
+- replay-horizon keys (`cdc_stream_dedup_tumbling`,
+  `stream_minhash_ingest`): state tracks the replayed feed BY DESIGN
+  (a historical replay has unbounded disorder; job.py:149-168) —
+  expected state ratio ≈ feed ratio ≈ 10×, wall ≤-linear.
+- the watermark-bounded regime (`stream_dedup_within_watermark`):
+  state must stay bounded by keys inside the 24 h horizon — the
+  production tail-following posture.
+- `cdc_stream_outer_join`: two-sided join state, watermark-gated.
+
+Also re-runs the warm-drain split (tools/stream_drain_bench.run) at
+10×: the steady-state increment must stay trigger-bound, and a
+restart must not reprocess history.
+
+Usage:  python tools/stream_scale_bench.py        # writes STREAM_SCALE.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+SF1X = os.path.join(REPO, ".scale", "sf1x")
+
+STREAM_KEYS = [
+    "cdc_stream_dedup_tumbling",
+    "cdc_stream_outer_join",
+    "stream_minhash_ingest",
+    "stream_dedup_within_watermark",
+]
+
+
+def _tail_follow_bounded_state(spark, sf_dir: str) -> dict:
+    """The PRODUCTION dedup posture: a tail-following job sees records
+    arrive in ~event-time order (the bus delivers near-real-time), so
+    ``dropDuplicatesWithinWatermark`` with the 24 h bus-retention
+    horizon (PROD_DEDUP_HORIZON) keeps state proportional to ONE
+    retention window, not to history.  The registered replay keys
+    deliberately use the unbounded horizon (job.py:149-168: a
+    historical replay has unbounded disorder); this measurement builds
+    the event-time-ordered landing a tail-follower actually sees,
+    drains it in many micro-batches, and reports the max state rows,
+    which must be ≪ feed rows.  (The 10× fixture interleaves its
+    replicas in time, so each 24 h window is ~10× denser: bounded
+    state means state ∝ window density, never ∝ history length —
+    the ratio to feed size is the invariant to watch.)
+    Every record is delivered twice (bus redelivery); the drain must
+    emit each exactly once — asserted against the batch distinct."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+
+    from sfdc_cdc_aws_spark.streaming import job as jm
+
+    landing = jm.ensure_landing(spark, sf_dir)
+    wire = spark.read.schema(jm.WIRE_SCHEMA).json(landing)
+    ordered_dir = f"/tmp/sfdc_tail_follow/{_uuid.uuid4().hex[:8]}"
+    parsed = jm.parse_wire(wire).select("replay_id", "commit_ts").distinct()
+    (
+        wire.join(
+            parsed.withColumnRenamed("replay_id", "rid"),
+            F.expr("get_json_object(cast(try_to_binary(data, 'base64') as string), "
+                   "'$.event.replayId')").cast("bigint") == F.col("rid"),
+        )
+        .repartitionByRange(16, F.col("commit_ts"))
+        .sortWithinPartitions("commit_ts")
+        .select("partitionKey", "data")
+        .write.mode("overwrite").json(ordered_dir)
+    )
+    # FileStreamSource admits files in MODIFICATION-TIME order; the
+    # range-partitioned write stamps near-identical mtimes, which
+    # would randomize arrival and make genuinely-ordered events look
+    # late. Stamp ascending mtimes in name order (= commit_ts order).
+    import glob as _glob
+    import time as _time0
+
+    base_t = _time0.time() - 3600
+    for i, f in enumerate(
+        sorted(_glob.glob(os.path.join(ordered_dir, "part-*")))
+    ):
+        if not f.endswith(".crc"):
+            os.utime(f, (base_t + i, base_t + i))
+
+    def one():
+        return jm.parse_wire(
+            spark.readStream.schema(jm.WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", 2)  # 8 batches: watermark advances
+            .json(ordered_dir)
+        )
+
+    # the file source consumes files in name order = event-time order
+    deduped = (
+        one().unionByName(one())
+        .withWatermark("commit_ts", jm.PROD_DEDUP_HORIZON)
+        .dropDuplicatesWithinWatermark(["replay_id", "record_id"])
+    )
+    jm.LAST_DRAIN_STATE.clear()
+    import time as _time
+
+    t0 = _time.perf_counter()
+    got = jm.run_available_now(deduped, "tail_follow_dedup")
+    wall = round(_time.perf_counter() - t0, 3)
+    n = got.count()
+    want = jm.parse_wire(wire).dropDuplicates(["replay_id", "record_id"]).count()
+    state = jm.LAST_DRAIN_STATE.get("tail_follow_dedup", {})
+    import shutil as _shutil
+
+    _shutil.rmtree(ordered_dir, ignore_errors=True)
+    return {
+        "wall_s": wall,
+        "feed_changes": want,
+        "emitted": n,
+        "exactly_once": n == want,
+        "max_state_rows": state.get("max_state_rows"),
+        "state_over_feed": round(state.get("max_state_rows", 0) / want, 4)
+        if want
+        else None,
+        "batches": state.get("batches"),
+        "horizon": jm.PROD_DEDUP_HORIZON,
+    }
+
+
+
+def main() -> int:
+    from sfdc_cdc_aws_spark.registry import load_all
+    from sfdc_cdc_aws_spark.session import get_session
+    from sfdc_cdc_aws_spark.streaming import job as jobmod
+    from tools.stream_drain_bench import run as drain_split
+
+    if not os.path.isdir(SF1X):
+        print(f"missing 10x fixture {SF1X}; run tools/gen_scale_fixture.py first")
+        return 2
+
+    spark = get_session("stream_scale")
+    specs = load_all()
+    # input prep outside timings: the wire landing for both SFs
+    jobmod.ensure_landing(spark, SF01)
+    jobmod.ensure_landing(spark, SF1X)
+
+    out: dict = {"metric": "stream_scale_10x", "keys": {}}
+    for name in STREAM_KEYS:
+        row: dict = {}
+        for label, sf in (("sf01", SF01), ("sf1x", SF1X)):
+            jobmod.LAST_DRAIN_STATE.clear()
+            t0 = time.perf_counter()
+            n = specs[name].fn(spark, sf).count()
+            wall = round(time.perf_counter() - t0, 3)
+            state = {}
+            for prefix, m in jobmod.LAST_DRAIN_STATE.items():
+                # one drain per key invocation → take the one entry
+                state = m
+            row[label] = {
+                "wall_s": wall,
+                "rows_out": n,
+                "state_rows": state.get("max_state_rows"),
+                "state_bytes": state.get("max_state_bytes"),
+                "batches": state.get("batches"),
+            }
+            print(f"  {name} {label}: {wall}s rows={n} state={state}", flush=True)
+        a, b = row["sf01"], row["sf1x"]
+        row["wall_ratio"] = round(b["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None
+        if a.get("state_rows") and b.get("state_rows"):
+            row["state_rows_ratio"] = round(b["state_rows"] / a["state_rows"], 2)
+        out["keys"][name] = row
+
+    print("tail-following bounded-state proof ...", flush=True)
+    out["bounded_state_tail_follow"] = {
+        "sf01": _tail_follow_bounded_state(spark, SF01),
+        "sf1x": _tail_follow_bounded_state(spark, SF1X),
+    }
+
+    print("warm-drain split at 10x ...", flush=True)
+    out["drain_split_sf1x"] = drain_split(spark, SF1X)
+    out["drain_split_sf01"] = drain_split(spark, SF01)
+
+    with open(os.path.join(REPO, "STREAM_SCALE.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print("wrote STREAM_SCALE.json")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
