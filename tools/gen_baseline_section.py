@@ -36,6 +36,7 @@ def build() -> str:
     var = _load("BENCH_VARIANCE.json")
     parity = _load("PARITY_SF01.json")
     stream = _load("STREAM_SCALE.json")
+    sf1 = _load("BENCH_SF1.json")
 
     q = bench["queries"]
     lines = [
@@ -171,6 +172,22 @@ def build() -> str:
                 "stays trigger-bound; restart reprocesses nothing "
                 f"(parity: {d1['parity_with_batch_flagship']}).",
             ]
+    if sf1:
+        worst3 = sorted(
+            sf1["keys"].items(), key=lambda kv: -kv[1]["ratio"]
+        )[:3]
+        lines += [
+            "",
+            f"**sf1 TPC-H lane (BENCH_SF1.json, {sf1['n_keys']} keys,",
+            "10×-replicated orders/lineitem/customer/part/supplier with",
+            "consistent key shifts — lineitem 6M rows, the sf1 shape):**",
+            f"median wall ratio **{sf1['median_ratio']}×** for 10× data,",
+            f"max {sf1['max_ratio']['ratio']}× (`{sf1['max_ratio']['key']}`),",
+            f"superlinear keys: {sf1['superlinear'] or 'none'} — every plan",
+            "shape holds one more decade up (aggregate keys stay near-flat",
+            "because group cardinality is scale-invariant; join-heavy keys",
+            "track the scan).",
+        ]
     lines.append(END)
     return "\n".join(lines) + "\n"
 
