@@ -40,6 +40,7 @@ SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 MATERIALIZED_PREFIXES = ("cdc_stream_", "stream_")
 MATERIALIZED_KEYS = {
     "cdc_incremental_merge",
+    "cdc_drift_merge",
     "stream_minhash_ingest",
     "pyds_sink_roundtrip",
     "pyds_stream_sink_roundtrip",
