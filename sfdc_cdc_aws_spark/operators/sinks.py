@@ -464,3 +464,61 @@ def pyds_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()  # detach before removing the sink dir
     shutil.rmtree(f"/tmp/sfdc_pyds_stream_sink/{run}", ignore_errors=True)
     return result
+
+
+@query(
+    "bayeux_live_roundtrip",
+    oracle=f"""
+WITH {CHANGES_CTE}
+SELECT entity_name, record_id, uid, change_type, commit_ts_ms, replay_id
+FROM changes WHERE replay_id <= {{BAYEUX_CUT}}
+""".replace("{BAYEUX_CUT}", "500"),
+)
+def bayeux_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S3 driven through the REAL client stack, hash-verified:
+    the first 500 wire envelopes are served by an in-process CometD
+    bus (sources/bayeux_testing.py — the snapshot_fetcher pattern at
+    the subscription edge), the BayeuxConnector (sources/bayeux.py)
+    handshakes, subscribes from REPLAY_FROM_EARLIEST, long-polls the
+    feed down, and lands it in the cdc_wire format; Spark then reads
+    the landing and parses it with the shared parse_wire front half.
+    The oracle is the same CHANGES relation cut at the served prefix —
+    so a client that dropped, duplicated, or reordered deliveries, or
+    a drain that mangled the wire shape, hash-fails here
+    (EmpConnector.java:187-203 / ReplayExtension.java:38-49 parity)."""
+    import base64
+    import json as _json
+    import tempfile
+
+    from sfdc_cdc_aws_spark.sources.bayeux import BayeuxConnector
+    from sfdc_cdc_aws_spark.sources.bayeux_testing import ScriptedBayeuxServer
+    from sfdc_cdc_aws_spark.sources.cdc_feed import envelopes
+    from sfdc_cdc_aws_spark.streaming.job import WIRE_SCHEMA, parse_wire
+
+    CUT = 500  # events served — keep in sync with the oracle predicate
+    served = [
+        _json.loads(base64.b64decode(r["wire"]))
+        for r in envelopes(spark, sf_dir)
+        .where(F.col("envelope.event.replayId") <= CUT)
+        .orderBy("envelope.event.replayId")
+        .select("wire")
+        .collect()  # bounded by CUT — the bus fixture, not data flow
+    ]
+    topic = "/data/ChangeEvents"
+    with tempfile.TemporaryDirectory(prefix="bayeux_rt_") as tmp:
+        with ScriptedBayeuxServer(served, batch=100, token="t0") as srv:
+            client = BayeuxConnector(srv.url, lambda reauth: "t0")
+            client.start()
+            client.subscribe_earliest(topic, lambda d: None)
+            landed = client.drain_to(tmp, topic)
+            client.stop()
+        assert landed == len(served), f"client landed {landed}/{len(served)}"
+        parsed = parse_wire(spark.read.schema(WIRE_SCHEMA).json(tmp))
+        return parsed.select(
+            "entity_name",
+            "record_id",
+            "uid",
+            "change_type",
+            "commit_ts_ms",
+            "replay_id",
+        ).localCheckpoint()  # detach before the tempdir vanishes

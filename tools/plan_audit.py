@@ -45,6 +45,7 @@ MATERIALIZED_KEYS = {
     "pyds_sink_roundtrip",
     "pyds_stream_sink_roundtrip",
     "partitioned_sink_roundtrip",
+    "bayeux_live_roundtrip",
     "compaction_execute",
 }
 
