@@ -1170,3 +1170,67 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         PF.round(jac, 6).alias("exact_jaccard"),
         (PF.abs(PF.col("est_jaccard") - jac) <= 0.375).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# candidate verification: exact edit distance over the LSH pairs
+# ---------------------------------------------------------------------------
+
+EDIT_SIM_THRESHOLD = 0.5  # keep pairs whose 1 - dist/max_len clears this
+
+
+@query(
+    "editdist_verify_neardup",
+    oracle=f"""
+WITH {_DUCK_LSH_PAIRS_CTE},
+ver AS (
+  SELECT p.doc_a, p.doc_b,
+         levenshtein(da.text, db.text) AS edit_distance,
+         greatest(len(da.text), len(db.text)) AS max_len
+  FROM lsh_pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, edit_distance,
+       round(1.0 - edit_distance / max_len, 6) AS edit_similarity
+FROM ver
+WHERE 1.0 - edit_distance / max_len >= {EDIT_SIM_THRESHOLD}
+""",
+)
+def editdist_verify_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage of the standard near-dup pipeline: LSH gives
+    probabilistic candidates; exact Levenshtein over just those pairs
+    confirms or rejects them. The O(n·m) distance runs only on the
+    LSH-bounded candidate set (never all pairs), JVM-side via
+    ``F.levenshtein``; the text shuffle is bounded by candidate count
+    × doc length — the two-sided fetch-by-id join a 100 TB corpus
+    serves from a doc store. Threshold compares the UNROUNDED
+    similarity on both engines so the cut is hash-identical."""
+    pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sim = F.lit(1.0) - F.col("edit_distance") / F.col("max_len")
+    return (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+            ),
+            "doc_b",
+        )
+        .withColumn("edit_distance", F.levenshtein("text_a", "text_b"))
+        .withColumn(
+            "max_len", F.greatest(F.length("text_a"), F.length("text_b"))
+        )
+        .where(sim >= EDIT_SIM_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_distance",
+            F.round(sim, 6).alias("edit_similarity"),
+        )
+    )

@@ -17,6 +17,12 @@ from sfdc_cdc_aws_spark.session import get_session  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 SHOWCASE = {
+    "editdist_verify_neardup": (
+        "the near-dup VERIFY stage: exact Levenshtein runs only on the "
+        "LSH-bounded candidate pairs — two fetch-by-id joins bring the "
+        "texts to the pairs, the O(n*m) distance stays JVM-side codegen, "
+        "and no plan node touches all-pairs space."
+    ),
     "cdc_latest_snapshot": (
         "max_by aggregate with a map-side partial (`partial_max_by`) and a "
         "single hash-partition exchange on the group key — the shuffle "
@@ -190,9 +196,21 @@ def main() -> None:
             "```",
             "",
         ]
+    # protocol / algorithm write-ups that aren't single-query plans
+    # live in docs/plans_appendix.md so regeneration never drops them
+    import os
+
+    appendix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "plans_appendix.md",
+    )
+    if os.path.exists(appendix):
+        with open(appendix) as f:
+            lines += [f.read().rstrip(), ""]
     with open("PLANS.md", "w") as f:
         f.write("\n".join(lines))
-    print(f"wrote PLANS.md ({len(SHOWCASE)} plans)")
+    print(f"wrote PLANS.md ({len(SHOWCASE)} plans + appendix)")
 
 
 if __name__ == "__main__":
