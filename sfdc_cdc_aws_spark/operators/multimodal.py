@@ -5,12 +5,16 @@ an opaque ``binary`` payload column plus typed metadata, processed by
 Arrow-batched ``mapInPandas`` operators so bytes never round-trip
 through Python row-at-a-time.
 
-This container has no image/audio codecs, so the actual decode is a
-clearly-marked stub (:func:`decode_media` raises NotImplementedError;
-the pipeline uses :func:`fake_decode_features`, a deterministic
-md5-based feature extractor). Everything Spark-side — the binary
-column construction, the metadata schema, the mapInPandas batch
-signature, the frame-sampling fan-out — is real and oracle-checked.
+Decode comes in two tiers (round 6): formats the standard library
+can genuinely parse — RIFF/WAVE via ``wave``, binary PPM via its
+header grammar — are REALLY decoded (:func:`decode_media_stdlib`,
+exercised end-to-end by ``media_decode_roundtrip``'s encode→decode
+oracle); codec-heavy formats (mp4/jpeg) remain a clearly-marked stub
+(:func:`decode_media` raises NotImplementedError — PIL/av are not in
+this container), with :func:`fake_decode_features` as the
+deterministic stand-in. Everything Spark-side — the binary column
+construction, the metadata schema, the mapInPandas batch signature,
+the frame-sampling fan-out — is real and oracle-checked.
 
 The synthetic payload is ``encode(text, 'utf-8')`` from the documents
 table: deterministic bytes whose md5 both engines can compute, which
@@ -274,4 +278,149 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("mime")).alias("n_mimes"),
         )
         .where(F.col("n_copies") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode for stdlib-decodable formats (round 6)
+# ---------------------------------------------------------------------------
+
+MEDIA_RATE_HZ = 8000  # PCM sample rate of the synthetic WAVs
+MEDIA_CONTENT_CAP = 256  # payload content bytes per doc (bounds the oracle)
+PPM_WIDTH = 16
+
+
+def _content_bytes(doc_id: int, n: int) -> bytes:
+    """The deterministic content stream both engines can model:
+    byte i = (doc_id*31 + i*7) mod 256."""
+    return bytes((doc_id * 31 + i * 7) % 256 for i in range(n))
+
+
+def build_wav(content: bytes) -> bytes:
+    """A REAL RIFF/WAVE file: mono 8-bit unsigned PCM via the stdlib
+    ``wave`` writer — not a fake container."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(MEDIA_RATE_HZ)
+        w.writeframes(content)
+    return buf.getvalue()
+
+
+def build_ppm(content: bytes) -> bytes:
+    """A REAL binary PPM (P6) image: 16px-wide RGB, content padded
+    with zero bytes to fill the last row."""
+    rows = (len(content) + PPM_WIDTH * 3 - 1) // (PPM_WIDTH * 3)
+    padded = content + b"\x00" * (rows * PPM_WIDTH * 3 - len(content))
+    return f"P6\n{PPM_WIDTH} {rows}\n255\n".encode() + padded
+
+
+def decode_media_stdlib(payload: bytes, mime: str) -> dict:
+    """REAL decoders for the formats the standard library can parse —
+    this replaces the round-2 blanket NotImplementedError for
+    audio/wav (``wave`` module: RIFF chunk walk, fmt validation) and
+    image PPM (header grammar + pixel buffer). Codec-heavy formats
+    (mp4/jpeg) still raise: that hook needs PIL/av, which this
+    container does not ship."""
+    import io
+    import wave
+
+    if mime == "audio/wav":
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            assert w.getnchannels() == 1 and w.getsampwidth() == 1
+            frames = w.readframes(w.getnframes())
+            n = len(frames)
+            return {
+                "n_units": n,
+                "duration_ms": n * 1000 // w.getframerate(),
+                "mean_level": sum(frames) / n if n else 0.0,
+                "peak_level": max(frames) if n else 0,
+            }
+    if mime == "image/x-portable-pixmap":
+        magic, dims, maxval_and_pixels = payload.split(b"\n", 2)
+        assert magic == b"P6"
+        w_, h_ = (int(x) for x in dims.split())
+        maxval, pixels = maxval_and_pixels.split(b"\n", 1)
+        assert int(maxval) == 255 and len(pixels) == w_ * h_ * 3
+        return {
+            "n_units": w_ * h_,
+            "duration_ms": None,
+            "mean_level": sum(pixels) / len(pixels) if pixels else 0.0,
+            "peak_level": max(pixels) if pixels else 0,
+        }
+    return decode_media(payload, mime)  # the codec-required stub path
+
+
+@query(
+    "media_decode_roundtrip",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, least(n_chars, {MEDIA_CONTENT_CAP}) AS n FROM documents
+),
+b AS (
+  SELECT doc_id, n, ((doc_id * 31 + i * 7) % 256) AS v
+  FROM base, unnest(generate_series(0, n - 1)) AS t(i)
+),
+agg AS (SELECT doc_id, n, sum(v) AS s, max(v) AS mx FROM b GROUP BY 1, 2)
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+       ELSE 'image/x-portable-pixmap' END AS mime,
+  CASE WHEN doc_id % 2 = 0 THEN n
+       ELSE {PPM_WIDTH} * ((n + {PPM_WIDTH * 3} - 1) // {PPM_WIDTH * 3})
+       END AS n_units,
+  CASE WHEN doc_id % 2 = 0 THEN n * 1000 // {MEDIA_RATE_HZ}
+       ELSE CAST(NULL AS BIGINT) END AS duration_ms,
+  round(s / (CASE WHEN doc_id % 2 = 0 THEN n
+                  ELSE {PPM_WIDTH * 3} * ((n + {PPM_WIDTH * 3} - 1)
+                                          // {PPM_WIDTH * 3}) END), 6)
+      AS mean_level,
+  mx AS peak_level
+FROM agg
+""",
+)
+def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode → REAL decode through Arrow batches: per doc, build an
+    actual WAV (even doc_id) or binary PPM (odd) from the
+    deterministic content stream, then parse it back with the genuine
+    stdlib decoders (:func:`decode_media_stdlib`) inside one
+    ``mapInPandas`` pass — file bytes never leave the executor, one
+    Python worker hop per Arrow batch. The oracle recomputes the
+    decoded structure (sample/pixel counts, duration, mean/peak
+    levels) from the content definition, so a decoder that misparsed
+    a header, dropped padding, or mixed up channels hash-fails."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = min(int(n_chars), MEDIA_CONTENT_CAP)
+                content = _content_bytes(int(doc_id), n)
+                if doc_id % 2 == 0:
+                    mime, payload = "audio/wav", build_wav(content)
+                else:
+                    mime, payload = "image/x-portable-pixmap", build_ppm(content)
+                dec = decode_media_stdlib(payload, mime)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "mime": mime,
+                        "n_units": dec["n_units"],
+                        "duration_ms": dec["duration_ms"],
+                        "mean_level": round(dec["mean_level"], 6),
+                        "peak_level": dec["peak_level"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, mime string, n_units bigint, duration_ms bigint, "
+            "mean_level double, peak_level bigint"
+        ),
     )
