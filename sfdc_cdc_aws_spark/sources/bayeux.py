@@ -439,3 +439,125 @@ def login_token_provider(
         return cache["token"]
 
     return provider
+
+
+# ---------------------------------------------------------------------------
+# Spark streaming source backed by the live client (round 6)
+# ---------------------------------------------------------------------------
+
+try:  # the Python DataSource API needs pyspark >= 4
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _BayeuxSimpleStreamReader(SimpleDataSourceStreamReader):
+        """``readStream.format("cdc_bayeux")``: the long-poll client IS
+        the source. Offset = last replayId delivered (the reference's
+        replay map, ReplayExtension.java:31-50), so a checkpoint
+        restart re-subscribes the bus from exactly the committed
+        position — Spark's offset log and the bus's replay capability
+        compose into end-to-end exactly-once. The -2/-1 sentinels pass
+        straight through as bus positions (EmpConnector.java:104-105).
+        """
+
+        def __init__(self, options):
+            self.endpoint = options["endpoint"]
+            self.topic = options.get("topic", "/data/ChangeEvents")
+            self.token = options.get("token", "")
+            self.replay_from = int(options.get("replay_from", REPLAY_FROM_EARLIEST))
+            self.max_polls = int(options.get("max_polls_per_batch", "10"))
+            self._client: BayeuxConnector | None = None
+            self._client_pos: int | None = None  # offset the client sits at
+            self._buffer: list[tuple] = []
+
+        # -- client management ------------------------------------------
+
+        def _consumer(self, data: dict) -> None:
+            rid = int((data.get("event") or {}).get("replayId"))
+            pk = (
+                ((data.get("payload") or {}).get("ChangeEventHeader") or {}).get(
+                    "entityName"
+                )
+                or _strip_query(self.topic).rsplit("/", 1)[-1]
+            )
+            self._buffer.append(
+                (rid, pk, base64.b64encode(json.dumps(data).encode()).decode())
+            )
+
+        def _connect_at(self, position: int) -> BayeuxConnector:
+            token = self.token
+            client = BayeuxConnector(self.endpoint, lambda reauth: token)
+            client.start()
+            client.subscribe(self.topic, position, self._consumer)
+            return client
+
+        # -- SimpleDataSourceStreamReader contract ----------------------
+
+        def initialOffset(self):
+            return {"replay_id": self.replay_from}
+
+        def read(self, start: dict):
+            pos = start["replay_id"]
+            if self._client is None or self._client_pos != pos:
+                if self._client is not None:
+                    self._client.stop()
+                self._client = self._connect_at(pos)
+            self._buffer = []
+            for _ in range(self.max_polls):
+                if not self._client.poll_once():
+                    break
+            rows = list(self._buffer)
+            end = rows[-1][0] if rows else pos
+            self._client_pos = end
+            return iter(rows), {"replay_id": end}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            """Failure replay: a FRESH subscription from the start
+            offset — the bus's replay capability makes the range
+            deterministic; rows beyond ``end`` are cut client-side."""
+            lo, hi = start["replay_id"], end["replay_id"]
+            client = self._connect_at(lo)
+            buf_save, self._buffer = self._buffer, []
+            try:
+                while True:
+                    delivered = client.poll_once()
+                    if not delivered:
+                        break
+                    if self._buffer and self._buffer[-1][0] >= hi:
+                        break
+                rows = [r for r in self._buffer if lo < r[0] <= hi]
+            finally:
+                self._buffer = buf_save
+                client.stop()
+            return iter(rows)
+
+        def commit(self, end) -> None:
+            pass  # the replayId in Spark's offset log IS the commit
+
+    class BayeuxDataSource(DataSource):
+        """``spark.readStream.format("cdc_bayeux")``: a Structured
+        Streaming source whose transport is the real Bayeux long-poll
+        client — options: endpoint, topic, token, replay_from
+        (-2 earliest / -1 tip / replayId), max_polls_per_batch."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "cdc_bayeux"
+
+        def schema(self) -> str:
+            return "replay_id bigint, partitionKey string, data string"
+
+        def simpleStreamReader(self, schema):
+            return _BayeuxSimpleStreamReader(self.options)
+
+    HAS_BAYEUX_DATASOURCE = True
+except ImportError:  # pragma: no cover - older pyspark
+    BayeuxDataSource = None  # type: ignore[assignment]
+    HAS_BAYEUX_DATASOURCE = False
+
+
+def register_cdc_bayeux(spark) -> None:
+    if not HAS_BAYEUX_DATASOURCE:  # pragma: no cover
+        raise NotImplementedError("Python DataSource API requires pyspark >= 4")
+    spark.dataSource.register(BayeuxDataSource)

@@ -11,6 +11,7 @@ forced reconnect.  SOAP login is tested with an injected transport.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -361,3 +362,68 @@ def test_login_token_provider_reauths_fresh():
     assert p(False) == "S1"  # cached
     assert p(True) == "S2"  # reauthenticate = fresh login
     assert calls["n"] == 2
+
+
+def test_cdc_bayeux_streaming_source(server, spark, tmp_path):
+    """readStream.format("cdc_bayeux"): the live client as a
+    Structured Streaming source. The availableNow drain consumes the
+    bus down; a SECOND run on the same checkpoint must deliver ONLY
+    events published after the committed replayId — Spark's offset
+    log and the bus's replay capability composing into exactly-once."""
+    import uuid
+
+    from sfdc_cdc_aws_spark.sources.bayeux import register_cdc_bayeux
+
+    register_cdc_bayeux(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain() -> list[int]:
+        before = {
+            r["replay_id"]
+            for r in (
+                spark.read.parquet(out).collect() if os.path.exists(out) else []
+            )
+        }
+        q = (
+            spark.readStream.format("cdc_bayeux")
+            .option("endpoint", server.url)
+            .option("topic", TOPIC)
+            .option("token", "token-0")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+        return sorted(r["replay_id"] for r in rows if r["replay_id"] not in before)
+
+    assert drain() == list(range(1, 11))
+    # the bus moves on while the query is down
+    server.events.extend(_event(i) for i in (11, 12, 13))
+    assert drain() == [11, 12, 13]  # resume from the checkpointed replayId
+
+    # and the landed rows are the standard wire shape end to end
+    from sfdc_cdc_aws_spark.streaming.job import WIRE_SCHEMA, parse_wire
+
+    qname = f"bayeux_all_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("cdc_bayeux")
+        .option("endpoint", server.url)
+        .option("topic", TOPIC)
+        .option("token", "token-0")
+        .load()
+        .select("partitionKey", "data")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parsed = parse_wire(spark.table(qname))
+    assert parsed.count() == 13
+    assert parsed.select("entity_name").distinct().collect()[0][0] == "Account"
