@@ -522,3 +522,69 @@ def bayeux_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "commit_ts_ms",
             "replay_id",
         ).localCheckpoint()  # detach before the tempdir vanishes
+
+
+@query(
+    "bayeux_stream_roundtrip",
+    oracle=f"""
+WITH {CHANGES_CTE}
+SELECT entity_name, record_id, uid, change_type, commit_ts_ms, replay_id
+FROM changes WHERE replay_id <= 500
+""",
+)
+def bayeux_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of `bayeux_live_roundtrip`: the same served
+    prefix consumed through ``readStream.format("cdc_bayeux")`` — the
+    Structured Streaming source whose transport is the long-poll
+    client (sources/bayeux.py) — drained availableNow into a parquet
+    sink and parsed with the shared front half. Offsets are replayIds
+    in Spark's checkpoint, so this key exercises the full
+    exactly-once composition (bus replay × offset log) every driver
+    round, against the same CHANGES-prefix oracle."""
+    import base64
+    import json as _json
+    import tempfile
+    import uuid as _uuid
+
+    from sfdc_cdc_aws_spark.sources.bayeux import register_cdc_bayeux
+    from sfdc_cdc_aws_spark.sources.bayeux_testing import ScriptedBayeuxServer
+    from sfdc_cdc_aws_spark.sources.cdc_feed import envelopes
+    from sfdc_cdc_aws_spark.streaming.job import parse_wire
+
+    CUT = 500
+    served = [
+        _json.loads(base64.b64decode(r["wire"]))
+        for r in envelopes(spark, sf_dir)
+        .where(F.col("envelope.event.replayId") <= CUT)
+        .orderBy("envelope.event.replayId")
+        .select("wire")
+        .collect()  # bounded by CUT — the bus fixture, not data flow
+    ]
+    register_cdc_bayeux(spark)
+    run = _uuid.uuid4().hex[:8]
+    with tempfile.TemporaryDirectory(prefix="bayeux_srt_") as tmp:
+        with ScriptedBayeuxServer(served, batch=200, token="t0") as srv:
+            q = (
+                spark.readStream.format("cdc_bayeux")
+                .option("endpoint", srv.url)
+                .option("topic", "/data/ChangeEvents")
+                .option("token", "t0")
+                .option("max_polls_per_batch", "5")
+                .load()
+                .select("partitionKey", "data")
+                .writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt_{run}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        wire = spark.read.parquet(f"{tmp}/out")
+        return parse_wire(wire).select(
+            "entity_name",
+            "record_id",
+            "uid",
+            "change_type",
+            "commit_ts_ms",
+            "replay_id",
+        ).localCheckpoint()

@@ -276,3 +276,60 @@ def test_crash_between_commit_and_publish_recovers(spark, tmp_path, monkeypatch)
     snap.upsert(ch)  # conflict → recover orphan epoch 1 → merge → epoch 2
     assert json.load(open(snap._manifest_path))["epoch"] == 2
     assert _state_rows(snap) == _flagship_rows(spark)
+
+
+def test_occ_threaded_writer_storm(spark, tmp_path):
+    """Four real threads, one state dir, twelve racing upserts: every
+    writer's delta must survive (no lost update at ANY interleaving),
+    the manifest must advance monotonically to exactly 1 + 12 epochs
+    minus the GC window, and no stage litter may remain."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "state")
+    ch = changes(spark, SF)
+    base = IncrementalSnapshot(spark, state, keep_epochs=50)
+    base.upsert(ch)  # epoch 0
+
+    keys = [
+        tuple(r)
+        for r in ch.select("entity_name", "uid").distinct().limit(12).collect()
+    ]
+    far = 9_999_999_999_000
+    errs: list[Exception] = []
+
+    def writer(idx: int) -> None:
+        snap = IncrementalSnapshot(spark, state, keep_epochs=50)
+        try:
+            for j in range(idx * 3, idx * 3 + 3):
+                ent, uid = keys[j]
+                delta = (
+                    ch.where(
+                        (F.col("entity_name") == ent) & (F.col("uid") == uid)
+                    )
+                    .limit(1)
+                    .withColumn("commit_ts_ms", F.lit(far + j).cast("long"))
+                    .withColumn("change_type", F.lit("UPDATE"))
+                )
+                snap.upsert(delta)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == [], errs
+
+    final = IncrementalSnapshot(spark, state)
+    assert json.load(open(final._manifest_path))["epoch"] == 12
+    got = {
+        (r["entity_name"], r["uid"]): r["commit_ts_ms"]
+        for r in final.read()
+        .where(F.col("commit_ts_ms") >= far)
+        .collect()
+    }
+    assert got == {keys[j]: far + j for j in range(12)}, "a racing update was lost"
+    assert [d for d in os.listdir(state) if d.startswith("stage_")] == []

@@ -46,6 +46,7 @@ MATERIALIZED_KEYS = {
     "pyds_stream_sink_roundtrip",
     "partitioned_sink_roundtrip",
     "bayeux_live_roundtrip",
+    "bayeux_stream_roundtrip",
     "compaction_execute",
 }
 
