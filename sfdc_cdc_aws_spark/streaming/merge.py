@@ -174,8 +174,11 @@ class IncrementalSnapshot:
         if not os.path.exists(os.path.join(staged, "_SUCCESS")):
             raise AuditError(f"staged epoch {staged} has no _SUCCESS marker")
         df = self.spark.read.parquet(staged)
-        n = df.count()
-        n_keys = df.select(*_KEY).distinct().count()
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(*[F.col(c) for c in _KEY]).alias("k"),
+        ).collect()[0]  # ONE audit job, not a count + a distinct-count
+        n, n_keys = row["n"], row["k"]
         if n != n_keys:
             raise AuditError(
                 f"staged epoch {staged} breaks latest-per-key: "
@@ -303,23 +306,33 @@ class IncrementalSnapshot:
             if n <= current - self.keep_epochs:
                 shutil.rmtree(self._epoch_dir(n), ignore_errors=True)
 
-    MAX_COMMIT_ATTEMPTS = 5
+    # Every conflict means ANOTHER writer advanced the log, so the
+    # SYSTEM always makes progress; the budget only bounds one
+    # writer's patience under sustained contention. 4 writers racing
+    # 3 commits each can cost a single writer >5 losses (observed in
+    # test_occ_threaded_writer_storm), hence the generous budget plus
+    # a short jittered backoff to break retry lockstep.
+    MAX_COMMIT_ATTEMPTS = 25
 
     def upsert(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         """Merge a batch into the state with optimistic concurrency:
         each attempt pins the manifest it read, stages + audits, then
         validate-and-swaps the epoch; a lost race re-merges against
         the winner's state and tries again (bounded attempts)."""
+        import random
+        import time
+
         # reduce the incoming batch before touching state: the merge
         # input is (distinct keys in batch), not (rows in batch)
         delta = _latest_per_key(batch_df)
         last_err: CommitConflict | None = None
-        for _ in range(self.MAX_COMMIT_ATTEMPTS):
+        for attempt in range(self.MAX_COMMIT_ATTEMPTS):
             try:
                 return self._attempt(delta)
             except CommitConflict as e:
                 last_err = e
                 self._recover_orphan_epoch()  # crash-between-commit-and-publish
+                time.sleep(random.uniform(0, 0.05) * min(attempt, 4))
         raise last_err  # contended beyond the retry budget
 
     def _attempt(self, delta: DataFrame) -> None:
