@@ -359,7 +359,10 @@ def decode_media_stdlib(payload: bytes, mime: str) -> dict:
     "media_decode_roundtrip",
     oracle=f"""
 WITH base AS (
-  SELECT doc_id, least(n_chars, {MEDIA_CONTENT_CAP}) AS n FROM documents
+  -- floor at 1: an empty doc would otherwise vanish from the oracle
+  -- (generate_series(0,-1) emits no row) while Spark still emits one
+  SELECT doc_id, least(greatest(n_chars, 1), {MEDIA_CONTENT_CAP}) AS n
+  FROM documents
 ),
 b AS (
   SELECT doc_id, n, ((doc_id * 31 + i * 7) % 256) AS v
@@ -398,7 +401,7 @@ def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             out = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                n = min(int(n_chars), MEDIA_CONTENT_CAP)
+                n = min(max(int(n_chars), 1), MEDIA_CONTENT_CAP)
                 content = _content_bytes(int(doc_id), n)
                 if doc_id % 2 == 0:
                     mime, payload = "audio/wav", build_wav(content)

@@ -92,10 +92,12 @@ class BayeuxConnector:
         endpoint: str,
         token_provider: Callable[[bool], str],
         timeout: float = 30.0,
+        max_reauth: int = 3,
     ):
         self.endpoint = endpoint.rstrip("/")
         self._token_provider = token_provider
         self.timeout = timeout
+        self.max_reauth = max_reauth
         self.replay: dict[str, int] = {}  # topic -> last seen replayId
         self._subs: dict[str, tuple[int, Callable[[dict], None]]] = {}
         self.client_id: str | None = None
@@ -181,13 +183,29 @@ class BayeuxConnector:
 
     def _reconnect(self) -> None:
         """Auth failover: fresh token, new handshake, resubscribe every
-        topic from its last recorded replayId."""
-        self.stats["reconnects"] += 1
-        self._reauth = True
-        self.client_id = None
-        self._handshake()
-        for topic in self._subs:
-            self._do_subscribe(topic)
+        topic from its last recorded replayId.
+
+        Bounded and iterative (no recursion): EmpConnector performs one
+        reauth per failure; here up to ``max_reauth`` CONSECUTIVE auth
+        failures are retried, then a terminal BayeuxError is raised so
+        a revoked credential cannot hot-loop against the auth endpoint.
+        """
+        for _attempt in range(self.max_reauth):
+            self.stats["reconnects"] += 1
+            self._reauth = True
+            self.client_id = None
+            try:
+                self._handshake()
+                for topic in self._subs:
+                    self._send_subscribe(topic)
+            except _AuthFailure:
+                continue  # consumes one attempt; token still invalid
+            return
+        self.running = False
+        raise BayeuxError(
+            f"authentication failed after {self.max_reauth} consecutive "
+            f"reauth attempts [{self.endpoint}]"
+        )
 
     # -- subscriptions -----------------------------------------------------
 
@@ -208,28 +226,32 @@ class BayeuxConnector:
     def subscribe_tip(self, topic, consumer) -> None:
         self.subscribe(topic, REPLAY_FROM_TIP, consumer)
 
-    def _do_subscribe(self, topic: str) -> None:
+    def _send_subscribe(self, topic: str) -> None:
+        """Raw subscribe POST; lets _AuthFailure propagate to the caller
+        (the reconnect loop owns the reauth budget)."""
         initial, _consumer = self._subs[topic]
         # resume position: last SEEN replayId wins over the initial one
         replay_from = self.replay.get(_strip_query(topic), initial)
-        try:
-            m = self._post(
-                [
-                    {
-                        "channel": "/meta/subscribe",
-                        "clientId": self.client_id,
-                        "subscription": topic,
-                        "ext": {"replay": {topic: replay_from}},
-                        "id": self._next_id(),
-                    }
-                ]
-            )[0]
-        except _AuthFailure:
-            self._reconnect()
-            return
+        m = self._post(
+            [
+                {
+                    "channel": "/meta/subscribe",
+                    "clientId": self.client_id,
+                    "subscription": topic,
+                    "ext": {"replay": {topic: replay_from}},
+                    "id": self._next_id(),
+                }
+            ]
+        )[0]
         if not m.get("successful"):
             err = m.get("error") or m.get("failure") or m
             raise CannotSubscribe(self.endpoint, topic, replay_from, err)
+
+    def _do_subscribe(self, topic: str) -> None:
+        try:
+            self._send_subscribe(topic)
+        except _AuthFailure:
+            self._reconnect()
 
     def last_replay_id(self, topic: str) -> int | None:
         return self.replay.get(_strip_query(topic))
@@ -474,7 +496,13 @@ try:  # the Python DataSource API needs pyspark >= 4
         # -- client management ------------------------------------------
 
         def _consumer(self, data: dict) -> None:
-            rid = int((data.get("event") or {}).get("replayId"))
+            rid = (data.get("event") or {}).get("replayId")
+            if rid is None:
+                # An event with no replayId cannot be offset-tracked;
+                # skip it rather than killing the micro-batch (the batch
+                # client's poll_once applies the same guard).
+                return
+            rid = int(rid)
             pk = (
                 ((data.get("payload") or {}).get("ChangeEventHeader") or {}).get(
                     "entityName"

@@ -306,23 +306,43 @@ try:  # the Python DataSource API needs pyspark >= 4
             # files, never os.replace over an earlier publish), then
             # remove the snapshot.  A crash between the two phases
             # leaves old+new (retryable), never an empty landing dir.
-            previous = (
-                [f for f in os.listdir(self.path) if f.endswith(".json")]
-                if self.overwrite
-                else []
-            )
-            for i, m in enumerate(messages):
-                os.replace(
-                    m.staged,
-                    os.path.join(self.path, f"put-{self.job}-{i:05d}.json"),
+            # Concurrent OVERWRITE commits are SERIALIZED by a flock:
+            # two unserialized overwriters would each snapshot a
+            # `previous` missing the other's files and leave the UNION
+            # of both publishes permanently visible (round-6 ADVICE).
+            # Appends stay lock-free — their names never collide.
+            import fcntl
+
+            lock_fd = None
+            if self.overwrite:
+                os.makedirs(self.path, exist_ok=True)
+                lock_fd = os.open(
+                    os.path.join(self.path, ".overwrite.lock"),
+                    os.O_WRONLY | os.O_CREAT,
+                    0o644,
                 )
-            with open(os.path.join(self.path, "_SUCCESS"), "w"):
-                pass
-            for old in previous:
-                try:
-                    os.remove(os.path.join(self.path, old))
-                except FileNotFoundError:  # a concurrent overwrite won
+                fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            try:
+                previous = (
+                    [f for f in os.listdir(self.path) if f.endswith(".json")]
+                    if self.overwrite
+                    else []
+                )
+                for i, m in enumerate(messages):
+                    os.replace(
+                        m.staged,
+                        os.path.join(self.path, f"put-{self.job}-{i:05d}.json"),
+                    )
+                with open(os.path.join(self.path, "_SUCCESS"), "w"):
                     pass
+                for old in previous:
+                    try:
+                        os.remove(os.path.join(self.path, old))
+                    except FileNotFoundError:  # already gone
+                        pass
+            finally:
+                if lock_fd is not None:
+                    os.close(lock_fd)  # releases the flock
             _drop_job_stage(self.path, self.job)
 
         def abort(self, messages) -> None:

@@ -301,7 +301,11 @@ class IncrementalSnapshot:
 
     def _gc(self, current: int) -> None:
         """Drop epochs older than the retention window. Best-effort: a
-        crash here just leaves an extra old epoch for the next GC."""
+        crash here just leaves an extra old epoch for the next GC.
+        Retention is also the laggard-tolerance knob: a writer that
+        falls more than ``keep_epochs`` commits behind mid-write loses
+        its base scan and retries via CommitConflict (see _attempt) —
+        size ``keep_epochs`` to writer concurrency to keep that rare."""
         for n in self.epochs():
             if n <= current - self.keep_epochs:
                 shutil.rmtree(self._epoch_dir(n), ignore_errors=True)
@@ -338,7 +342,7 @@ class IncrementalSnapshot:
     def _attempt(self, delta: DataFrame) -> None:
         manifest = self._read_manifest()  # the pinned BASE epoch
         if manifest is None:
-            merged, next_epoch = delta, 0
+            merged, next_epoch, base_dir = delta, 0, None
         else:
             # ADDITIVE-ONLY schema evolution: a feed that grows a
             # column mid-stream (the CDC reality — new entity fields
@@ -350,7 +354,11 @@ class IncrementalSnapshot:
             # column on every refreshed key (newer rows win the
             # max_by), which is a silent data regression, not
             # evolution. Retyping still fails in unionByName itself.
-            state = self.read()
+            # Scan the PINNED epoch dir directly (not read(), which
+            # would re-resolve the manifest and could silently pin a
+            # newer epoch than next_epoch assumes).
+            base_dir = self._epoch_dir(manifest["epoch"])
+            state = self.spark.read.parquet(base_dir)
             dropped = set(state.columns) - set(delta.columns)
             if dropped:
                 raise AuditError(
@@ -375,8 +383,19 @@ class IncrementalSnapshot:
             merged.coalesce(4).write.mode("overwrite").parquet(staged)
             self._fsync_dir_files(staged)  # data durable BEFORE commit
             audit = self._audit(staged)  # AUDIT: raises → nothing published
-        except Exception:
+        except Exception as e:
             shutil.rmtree(staged, ignore_errors=True)
+            # A laggard whose base epoch was GC'd by a faster writer
+            # (commits >= keep_epochs ahead during this attempt's long
+            # write phase) sees its lazy scan fail mid-stage. That is a
+            # CONCURRENCY outcome, not a data error: surface it as
+            # CommitConflict so upsert's retry loop re-reads the
+            # manifest and re-merges against the survivor epoch.
+            if base_dir is not None and not os.path.isdir(base_dir):
+                raise CommitConflict(
+                    f"base epoch {manifest['epoch']} was garbage-collected "
+                    "by a concurrent writer during the write phase"
+                ) from e
             raise
         self._commit(staged, next_epoch)  # COMMIT: the atomic CAS
         self._publish(next_epoch, audit)  # PUBLISH: flip the manifest

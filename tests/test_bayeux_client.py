@@ -427,3 +427,55 @@ def test_cdc_bayeux_streaming_source(server, spark, tmp_path):
     parsed = parse_wire(spark.table(qname))
     assert parsed.count() == 13
     assert parsed.select("entity_name").distinct().collect()[0][0] == "Account"
+
+
+def test_persistent_auth_failure_is_terminal_not_recursive(server):
+    """Round-6 ADVICE: credentials that STAY invalid (revoked token,
+    broken provider) must end in a terminal BayeuxError after a bounded
+    number of reauth attempts — not unbounded handshake→subscribe→401
+    mutual recursion hot-looping the auth endpoint."""
+    c = BayeuxConnector(server.url, lambda reauth: "token-0", max_reauth=3)
+    c.start()
+    c.subscribe_earliest(TOPIC, lambda d: None)
+    server.valid_tokens = set()  # every token (old AND freshly minted) dies
+    with pytest.raises(BayeuxError, match="3 consecutive reauth attempts"):
+        c.poll_once()
+    assert c.stats["reconnects"] == 3  # the budget, exactly
+    assert not c.running  # terminal: the caller must not keep polling
+
+
+def test_reauth_budget_resets_after_recovery(server):
+    """A transient auth blip must NOT eat into a permanent budget:
+    failover succeeds mid-stream, polling continues, and the stream
+    stays lossless — the budget bounds CONSECUTIVE failures only."""
+    provider = _tokens(server)
+    got = []
+    c = BayeuxConnector(server.url, provider, max_reauth=2)
+    c.start()
+    c.subscribe_earliest(TOPIC, lambda d: got.append(d["event"]["replayId"]))
+    c.poll_once()
+    server.fail_next_connects = 1  # one transient 403, then healthy
+    c.poll_once()
+    while c.poll_once():
+        pass
+    assert got == list(range(1, 11))
+    assert c.running
+
+
+def test_stream_reader_skips_events_without_replay_id():
+    """Round-6 ADVICE: an event with no replayId cannot be offset
+    tracked; the streaming source's consumer must drop it instead of
+    raising TypeError and killing the micro-batch."""
+    from sfdc_cdc_aws_spark.sources.bayeux import (
+        HAS_BAYEUX_DATASOURCE,
+        _BayeuxSimpleStreamReader,
+    )
+
+    assert HAS_BAYEUX_DATASOURCE
+    r = _BayeuxSimpleStreamReader({"endpoint": "http://unused", "topic": TOPIC})
+    r._buffer = []
+    r._consumer({"payload": {"x": 1}})  # no event envelope at all
+    r._consumer({"payload": {"x": 2}, "event": {}})  # envelope, no replayId
+    assert r._buffer == []
+    r._consumer(_event(5))
+    assert [t[0] for t in r._buffer] == [5]

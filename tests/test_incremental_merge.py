@@ -289,7 +289,10 @@ def test_occ_threaded_writer_storm(spark, tmp_path):
 
     state = str(tmp_path / "state")
     ch = changes(spark, SF)
-    base = IncrementalSnapshot(spark, state, keep_epochs=50)
+    # keep_epochs=3 < writer count: laggards WILL see their base epoch
+    # GC'd mid-write and must recover via the CommitConflict retry
+    # (round-6 ADVICE — the old keep_epochs=50 sidestepped that path)
+    base = IncrementalSnapshot(spark, state, keep_epochs=3)
     base.upsert(ch)  # epoch 0
 
     keys = [
@@ -300,7 +303,7 @@ def test_occ_threaded_writer_storm(spark, tmp_path):
     errs: list[Exception] = []
 
     def writer(idx: int) -> None:
-        snap = IncrementalSnapshot(spark, state, keep_epochs=50)
+        snap = IncrementalSnapshot(spark, state, keep_epochs=3)
         try:
             for j in range(idx * 3, idx * 3 + 3):
                 ent, uid = keys[j]
@@ -333,3 +336,117 @@ def test_occ_threaded_writer_storm(spark, tmp_path):
     }
     assert got == {keys[j]: far + j for j in range(12)}, "a racing update was lost"
     assert [d for d in os.listdir(state) if d.startswith("stage_")] == []
+
+
+def test_base_epoch_gc_mid_write_is_conflict_not_error(spark, tmp_path, monkeypatch):
+    """Round-6 ADVICE: a laggard whose pinned base epoch is GC'd by a
+    faster writer DURING its long write phase must re-merge via the
+    CommitConflict retry path — not die with FileNotFound — and this
+    must hold at the tightest retention (keep_epochs=1), not only the
+    generous windows earlier tests used."""
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "state")
+    ch = changes(spark, SF)
+    snap_a = IncrementalSnapshot(spark, state, keep_epochs=1)
+    snap_b = IncrementalSnapshot(spark, state, keep_epochs=1)
+    snap_a.upsert(ch.limit(500))  # epoch 0 = the base A will pin
+
+    far = 9_999_999_999_500
+    keys = [
+        tuple(r)
+        for r in ch.select("entity_name", "uid").distinct().limit(2).collect()
+    ]
+
+    def bump(entity, uid, ts):
+        return (
+            ch.where((F.col("entity_name") == entity) & (F.col("uid") == uid))
+            .limit(1)
+            .withColumn("commit_ts_ms", F.lit(ts).cast("long"))
+            .withColumn("change_type", F.lit("UPDATE"))
+        )
+
+    delta_a = bump(*keys[0], far)
+    delta_b = bump(*keys[1], far + 1)
+
+    # A's _attempt calls os.makedirs(state_dir) AFTER pinning epoch 0
+    # but BEFORE executing the staged write (the point where the lazy
+    # base scan runs) — the exact window a concurrent commit+GC hits.
+    real_makedirs = os.makedirs
+    fired = {"done": False}
+
+    def gc_base_then_makedirs(path, *a, **kw):
+        if not fired["done"] and path == state:
+            fired["done"] = True
+            snap_b.upsert(delta_b)  # commits epoch 1; its GC drops epoch 0
+            assert not os.path.isdir(snap_a._epoch_dir(0)), "GC did not fire"
+        return real_makedirs(path, *a, **kw)
+
+    monkeypatch.setattr(os, "makedirs", gc_base_then_makedirs)
+    snap_a.upsert(delta_a)  # base scan fails mid-stage → conflict → retry
+    monkeypatch.undo()
+
+    assert json.load(open(snap_a._manifest_path))["epoch"] == 2
+    from pyspark.sql import functions as F2
+
+    got = {
+        (r["entity_name"], r["uid"]): r["commit_ts_ms"]
+        for r in snap_a.read().where(F2.col("commit_ts_ms") >= far).collect()
+    }
+    assert got == {keys[0]: far, keys[1]: far + 1}, "a delta was lost to the GC race"
+    assert [d for d in os.listdir(state) if d.startswith("stage_")] == []
+
+
+def test_sigkill_between_commit_and_publish_recovers(spark, tmp_path):
+    """Round-6 verdict item 7, with a REAL process death (no Python
+    unwinding, no finally blocks): a subprocess acquires the state
+    flock, renames a fully-staged epoch into place — the torn window
+    between COMMIT and PUBLISH — and SIGKILLs itself with the lock
+    still held.  Readers must never see the unpublished epoch, the
+    kernel must release the dead writer's flock (no deadlock), and the
+    next writer must recover the orphan and land its own merge."""
+    import subprocess
+    import sys
+
+    import sfdc_cdc_aws_spark.streaming.merge as merge_mod
+
+    state = str(tmp_path / "state")
+    ch = changes(spark, SF)
+    snap = IncrementalSnapshot(spark, state)
+    snap.upsert(ch.limit(500))  # epoch 0 published
+    before = _state_rows(snap)
+
+    # fully stage the next epoch the way _attempt would (complete
+    # parquet write incl. _SUCCESS), without committing it
+    staged = os.path.join(state, "stage_killtest")
+    merge_mod._latest_per_key(
+        snap.read().unionByName(ch.limit(900))
+    ).coalesce(2).write.mode("overwrite").parquet(staged)
+
+    script = (
+        "import fcntl, os, sys\n"
+        "state, staged, epoch = sys.argv[1:4]\n"
+        "fd = os.open(os.path.join(state, '.manifest.lock'),"
+        " os.O_WRONLY | os.O_CREAT)\n"
+        "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+        "os.rename(staged, epoch)  # COMMIT wins the epoch\n"
+        "os.kill(os.getpid(), 9)  # die before PUBLISH, lock held\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script, state, staged, snap._epoch_dir(1)],
+        timeout=30,
+    )
+    assert proc.returncode == -9  # genuinely SIGKILLed
+
+    # torn window on disk: epoch 1 committed, manifest still at 0
+    assert os.path.exists(os.path.join(snap._epoch_dir(1), "_SUCCESS"))
+    assert json.load(open(snap._manifest_path))["epoch"] == 0
+    # a reader NEVER sees the unpublished epoch
+    assert _state_rows(snap) == before
+
+    # a restarted writer recovers: conflict → re-audit orphan → roll
+    # manifest forward → merge on top.  Completing at all also proves
+    # the dead writer's flock was kernel-released.
+    snap.upsert(ch)
+    assert json.load(open(snap._manifest_path))["epoch"] == 2
+    assert _state_rows(snap) == _flagship_rows(spark)

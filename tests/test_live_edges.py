@@ -501,3 +501,57 @@ def test_overwrite_commit_publishes_before_deleting(tmp_path, monkeypatch):
     w2 = _WireBatchWriter({"path": out}, overwrite=True)
     w2.commit([w2.write(iter([Row(i) for i in range(10, 13)]))])
     assert len(_scan_landing(out)) == 3
+
+
+def test_concurrent_overwrites_serialize_to_one_publish(tmp_path, monkeypatch):
+    """Round-6 ADVICE: two OVERWRITE commits racing one landing dir
+    must serialize — without the commit flock each snapshots a
+    `previous` missing the other's files and the UNION of both
+    publishes stays visible forever.  The race is forced: os.listdir
+    on the landing dir stalls after reading, so unserialized commits
+    would overlap deterministically."""
+    import threading
+    import time as _time
+
+    from sfdc_cdc_aws_spark.sources.live import _WireBatchWriter, _scan_landing
+
+    Row = _fake_wire_row
+    out = str(tmp_path / "landing")
+    os.makedirs(out)
+    w0 = _WireBatchWriter({"path": out}, overwrite=False)
+    w0.commit([w0.write(iter([Row(i) for i in range(4)]))])
+
+    real_listdir = os.listdir
+
+    def stalling_listdir(path="."):
+        names = real_listdir(path)
+        if str(path) == out:
+            _time.sleep(0.4)  # widen the snapshot→publish window
+        return names
+
+    monkeypatch.setattr(os, "listdir", stalling_listdir)
+    wa = _WireBatchWriter({"path": out}, overwrite=True)
+    wb = _WireBatchWriter({"path": out}, overwrite=True)
+    ma = wa.write(iter([Row(i) for i in range(10, 13)]))
+    mb = wb.write(iter([Row(i) for i in range(20, 23)]))
+    errs = []
+
+    def run(w, m):
+        try:
+            w.commit([m])
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    ta = threading.Thread(target=run, args=(wa, ma))
+    tb = threading.Thread(target=run, args=(wb, mb))
+    ta.start(), tb.start()
+    ta.join(), tb.join()
+    monkeypatch.undo()
+    assert errs == [], errs
+
+    visible = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    jobs = {f.split("-")[1] for f in visible}
+    assert jobs in ({wa.job}, {wb.job}), (
+        f"concurrent overwrites left {visible} — the union anomaly"
+    )
+    assert len(_scan_landing(out)) == 3  # exactly one 3-row publish
