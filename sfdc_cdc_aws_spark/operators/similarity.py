@@ -261,6 +261,102 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_RECALL_BAR = 0.5  # acceptance bar for recall@k of the 2/16 probe
+
+
+@query(
+    "ann_eval_recall",
+    oracle=f"""
+WITH {_DUCK_ASSIGN_CTE},
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {DUCK_COSINE.format(a='q.embedding', b='c.c_emb')} DESC,
+                      c.cent_id) AS rn
+    FROM embeddings q, cents c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {DUCK_COSINE.format(a='q.embedding', b='a.embedding')} DESC,
+                      a.vec_id) AS rnk
+    FROM probes p
+    JOIN assign a ON a.cent_id = p.cent_id
+    JOIN embeddings q ON q.vec_id = p.query_id
+    WHERE a.vec_id <> p.query_id
+  ) WHERE rnk <= {TOP_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {DUCK_COSINE.format(a='q.embedding', b='c.embedding')} DESC,
+                      c.vec_id) AS rnk
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  ) WHERE rnk <= {TOP_K}
+),
+hit AS (SELECT i.query_id FROM ivf i JOIN exact e
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id)
+SELECT (SELECT count(*) FROM exact) AS n_truth,
+       (SELECT count(*) FROM ivf) AS n_ivf,
+       (SELECT count(*) FROM hit) AS n_hit,
+       round((SELECT count(*) FROM hit) * 1.0
+             / (SELECT count(*) FROM exact), 6) AS recall_at_k,
+       (round((SELECT count(*) FROM hit) * 1.0
+              / (SELECT count(*) FROM exact), 6) >= {ANN_RECALL_BAR})
+           AS recall_ok
+""",
+)
+def ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF probe vs exact brute-force ground truth —
+    round-6 verdict item 5: ``lsh_eval_pr`` audits the MinHash-LSH
+    candidate generator, this audits the ANN index the same way. An
+    IVF search that probes nprobe of C cells has a miss rate set by
+    how often a true neighbor's cell falls outside the probe set; it
+    is invisible until measured, and it is the number that decides
+    nprobe (recall too low → probe more cells, pay proportionally
+    more scan). The acceptance boolean is computed on the ROUNDED
+    recall on both engines, so a boundary value can't classify
+    differently across engines.
+
+    Plan: the two top-k pipelines this engine already runs (IVF probe
+    join; broadcast brute force), localCheckpointed so each feeds its
+    scalar count and the intersection join without re-executing, then
+    three scalar aggregates crossJoined into one row — audit cost ≈
+    the cost of the pipelines being audited, nothing more."""
+    ivf = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    exact = (
+        topk_cosine_sim(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    hit = ivf.join(exact, ["query_id", "neighbor_id"])
+    recall = F.round(F.col("n_hit") / F.col("n_truth"), 6)
+    return (
+        exact.agg(F.count("*").alias("n_truth"))
+        .crossJoin(ivf.agg(F.count("*").alias("n_ivf")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_ivf",
+            "n_hit",
+            recall.alias("recall_at_k"),
+            (recall >= ANN_RECALL_BAR).alias("recall_ok"),
+        )
+    )
+
+
 @query(
     "embedding_neardup",
     oracle=f"""

@@ -69,22 +69,38 @@ def test_dedup_clusters_reliable_checkpoint(spark, tmp_path, monkeypatch):
     assert any(os.scandir(ckpt)), "reliable checkpoint dir must be used"
 
 
-def test_minhash_bucket_cap_on_identical_docs(spark, tmp_path):
-    """A corpus of >cap identical docs collapses into one LSH bucket
-    per band; those buckets must be capped away (their dedup belongs
-    to exact_dedup_docs) while distinct near-dup pairs still surface."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+def test_minhash_overcap_buckets_salt_split_match_uncapped_oracle(spark, tmp_path):
+    """Round-6 verdict item 2: a boilerplate family much larger than
+    MINHASH_BUCKET_CAP — the densest near-dup reality of a crawl —
+    must take the SALTED sub-bucket path and still produce EXACTLY
+    the uncapped DuckDB oracle's pair set (the old behavior excluded
+    those buckets, silently dropping the family's pairs). The family
+    spans g=3 salt groups, so multi-cell join coverage (i<j cells and
+    i==j cells) is exercised, and the ``salted_buckets`` observation
+    must report the quadratic-path buckets."""
+    import os
 
     from sfdc_cdc_aws_spark.operators.dedup import (
         MINHASH_BUCKET_CAP,
         minhash_lsh_dedup,
     )
+    from sfdc_cdc_aws_spark.registry import load_all
+    from sfdc_cdc_aws_spark.sources.tables import TABLES, table_path
+    from tests.oracle import compare
+    from tools.scale_stress import observed_metrics
 
-    n_same = MINHASH_BUCKET_CAP + 40
-    rows = [(i, "identical boiler plate text repeated verbatim everywhere") for i in range(n_same)]
-    # a duplicate pair with its own content: lands in its own size-2
-    # bucket in every band (deterministic collision), far below the cap
+    n_same = 2 * MINHASH_BUCKET_CAP + 76  # g = ceil(1100/512) = 3
+    rows = [
+        (i, "identical boiler plate text repeated verbatim everywhere")
+        for i in range(n_same)
+    ]
+    # near-identical variants: mostly-shared shingles, bucket fate
+    # decided by the minhash math — the oracle adjudicates
+    rows += [
+        (30_000 + i, f"identical boiler plate text repeated verbatim everywhere variant{i}")
+        for i in range(24)
+    ]
+    # a clean near-dup pair in its own tiny bucket
     rows += [
         (20_000, "rare quartz marble zephyr obsidian lattice prism"),
         (20_001, "rare quartz marble zephyr obsidian lattice prism"),
@@ -98,11 +114,29 @@ def test_minhash_bucket_cap_on_identical_docs(spark, tmp_path):
             "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
         }
     )
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(table_path(src, t), table_path(str(tmp_path), t))
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
-    got = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_dedup(spark, str(tmp_path)).collect()}
-    assert (20_000, 20_001) in got, "near-dup pair must survive the cap"
-    assert not any(a < n_same and b < n_same for a, b in got), (
-        "identical-doc bucket pairs must be capped away"
+
+    df = minhash_lsh_dedup(spark, str(tmp_path))
+    compare(df, load_all()["minhash_lsh_dedup"].oracle, str(tmp_path))
+
+    obs = {
+        name: val
+        for metrics in observed_metrics(df).values()
+        for name, val in metrics.items()
+    }
+    assert obs.get("salted_buckets", 0) >= 4, obs  # one per band, at least
+    assert obs.get("max_bucket", 0) > MINHASH_BUCKET_CAP, obs
+
+    # spot semantics: the full C(n,2) family pair space survived
+    got = {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+    assert (20_000, 20_001) in got
+    n_family = sum(1 for a, b in got if a < n_same and b < n_same)
+    assert n_family == n_same * (n_same - 1) // 2, (
+        f"salted path lost family pairs: {n_family}"
     )
 
 

@@ -103,6 +103,8 @@ def build() -> str:
     parity = _load("PARITY_SF01.json")
     stream = _load("STREAM_SCALE.json")
     sf1 = _load("BENCH_SF1.json")
+    stress = _load("SCALE_STRESS.json")
+    scale_full = _load("BENCH_SCALE_FULL.json")
 
     q = bench["queries"]
     lines = [
@@ -268,6 +270,43 @@ def build() -> str:
             "shape holds one more decade up (aggregate keys stay near-flat",
             "because group cardinality is scale-invariant; join-heavy keys",
             "track the scan).",
+        ]
+    if stress:
+        recall = stress.get("keys", {}).get("ann_eval_recall", {})
+        adv = stress.get("adversarial_overcap", {})
+        extra = []
+        if recall.get("recall_sf01") is not None:
+            extra.append(
+                f"IVF recall@10 vs exact brute force "
+                f"(`ann_eval_recall`, SCALE_STRESS.json): "
+                f"**{recall['recall_sf01']}** at sf0.1, "
+                f"**{recall['recall_sf1x']}** at the 10× fixture "
+                f"(2 of 16 cells probed)."
+            )
+        if adv:
+            extra.append(
+                f"Adversarial over-cap LSH lane (SCALE_STRESS.json): "
+                f"max bucket {adv.get('max_bucket')} "
+                f"(cap 512, {adv.get('salted_buckets')} salted buckets), "
+                f"pair output **{adv.get('uncapped_oracle')}** vs the "
+                f"uncapped oracle in {adv.get('wall_sec')} s — dense "
+                "boilerplate families are salt-split, not dropped."
+            )
+        if extra:
+            lines += [""] + extra
+    if scale_full:
+        lines += [
+            "",
+            f"**Full-registry 10× lane (BENCH_SCALE_FULL.json, "
+            f"{scale_full['n_keys']} keys, every key measured at sf0.1 "
+            "and the complete 10× fixture):** median ratio "
+            f"**{scale_full['median_ratio']}×**, p90 "
+            f"{scale_full['p90_ratio']}×, max "
+            f"{scale_full['max_ratio']['ratio']}× "
+            f"(`{scale_full['max_ratio']['key']}`); superlinear keys: "
+            f"{', '.join('`%s`' % k for k in scale_full['superlinear']) or 'none'}"
+            f" (all explained in the artifact; unexplained: "
+            f"{scale_full['superlinear_unexplained'] or 'none'}).",
         ]
     lines.append(END)
     return "\n".join(lines) + "\n"

@@ -33,6 +33,7 @@ KEYS = (
     "ngram_jaccard_dedup",
     "lsh_survivor_pick",
     "ann_ivf_topk",
+    "ann_eval_recall",
     "dedup_clusters",
     # round-5 CDC/temporal keys over the Kx-derived events feed —
     # recursive_bfs_hops is the one that genuinely broke at 10x
@@ -115,6 +116,85 @@ FROM buckets
     }
 
 
+def build_adversarial_fixture(path: str, baseline_sf: str) -> None:
+    """A boilerplate-heavy documents table whose densest family blows
+    MINHASH_BUCKET_CAP by ~5× (round-6 verdict item 2): N_FAMILY
+    byte-identical docs land in ONE bucket per band, forcing the
+    salted sub-bucket path; near-identical variants and unique filler
+    surround it so the under-cap path runs in the same plan. Other
+    tables symlink to the baseline so oracle views resolve."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sfdc_cdc_aws_spark.operators.dedup import MINHASH_BUCKET_CAP
+    from sfdc_cdc_aws_spark.sources.tables import TABLES, table_path
+
+    if os.path.exists(os.path.join(path, "documents.parquet")):
+        return
+    os.makedirs(path, exist_ok=True)
+    n_family = 5 * MINHASH_BUCKET_CAP - 60  # g = ceil(2500/512) = 5
+    rows = [
+        (i, "identical boiler plate text repeated verbatim everywhere across the crawl")
+        for i in range(n_family)
+    ]
+    rows += [
+        (40_000 + i,
+         f"identical boiler plate text repeated verbatim everywhere across the crawl variant{i}")
+        for i in range(48)
+    ]
+    rows += [(20_000, "rare quartz marble zephyr obsidian lattice prism"),
+             (20_001, "rare quartz marble zephyr obsidian lattice prism")]
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    for i in range(2000):
+        txt = " ".join(words[(i * 7 + j * 3) % len(words)] + str((i + j * 11) % 97)
+                       for j in range(10))
+        rows.append((100_000 + i, txt))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array(["en"] * len(rows), type=pa.string()),
+            "source": pa.array(["adversarial"] * len(rows), type=pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, table_path(path, "documents"))
+    for t in TABLES:
+        if t != "documents" and not os.path.exists(table_path(path, t)):
+            os.symlink(table_path(baseline_sf, t), table_path(path, t))
+
+
+def adversarial_overcap_row(spark, specs, fixture: str, baseline_sf: str) -> dict:
+    """minhash_lsh_dedup on the over-cap fixture: salted buckets MUST
+    fire (salted_buckets > 0) and the pair set must still match the
+    UNCAPPED DuckDB oracle — the proof the round-6 exclusion gap is
+    closed under adversarial density, not just organic corpora."""
+    from tests.oracle import compare
+
+    build_adversarial_fixture(fixture, baseline_sf)
+    spec = specs["minhash_lsh_dedup"]
+    spec.fn(spark, fixture).count()  # warm the signature materialization
+    row: dict = {"fixture": fixture}
+    t0 = time.monotonic()
+    df = spec.fn(spark, fixture)
+    try:
+        compare(df, spec.oracle, fixture)
+        row["uncapped_oracle"] = "MATCH"
+    except AssertionError as exc:
+        row["uncapped_oracle"] = f"MISMATCH: {exc}"
+    row["wall_sec"] = round(time.monotonic() - t0, 3)
+    row["observed"] = observed_metrics(df)
+    obs = {
+        name: val
+        for metrics in row["observed"].values()
+        for name, val in metrics.items()
+    }
+    row["salted_buckets"] = obs.get("salted_buckets")
+    row["max_bucket"] = obs.get("max_bucket")
+    return row
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fixture", default=os.path.join(REPO, ".scale", "sf1x"))
@@ -172,8 +252,23 @@ def main() -> None:
         except AssertionError as exc:
             row["uncapped_oracle"] = f"MISMATCH: {exc}"
         row["observed"] = observed_metrics(df)
+        if key == "ann_eval_recall":
+            # the recall number itself is the artifact BASELINE.md
+            # quotes (round-6 verdict item 5) — record it at both SFs
+            row["recall_sf01"] = spec.fn(spark, args.baseline_sf).collect()[0][
+                "recall_at_k"
+            ]
+            row["recall_sf1x"] = spec.fn(spark, args.fixture).collect()[0][
+                "recall_at_k"
+            ]
         report["keys"][key] = row
         print(key, json.dumps(row)[:300])
+
+    report["adversarial_overcap"] = adversarial_overcap_row(
+        spark, specs, os.path.join(REPO, ".scale", "adversarial_overcap"),
+        args.baseline_sf,
+    )
+    print("adversarial_overcap", json.dumps(report["adversarial_overcap"])[:300])
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
