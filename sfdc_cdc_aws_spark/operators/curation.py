@@ -507,3 +507,287 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-iteration BPE training (the loop bpe_merge_step is one step of)
+# ---------------------------------------------------------------------------
+
+N_TRAIN_MERGES = 4  # merges learned by the training loop
+# merge application is literal left-to-right replace-all, applied
+# MERGE_PASSES times per iteration: one pass leaves every second pair
+# of an odd/even run unmerged (the shared-boundary-space effect), a
+# second pass converges any run a natural-language vocabulary holds.
+# Both engines apply the IDENTICAL pass count, so parity is by
+# construction even on adversarial runs.
+MERGE_PASSES = 2
+
+
+def _bpe_train_ctes() -> str:
+    """The unrolled N_TRAIN_MERGES-step BPE-training CTE chain (WITH
+    w0 … b{N}, w{N} — no final SELECT): each step recounts adjacent
+    symbol pairs over the merged vocabulary of the previous step, the
+    same fixpoint the Spark loop computes.  Shared by the training
+    oracle (reads the b{k} winners) and the encode-apply oracle
+    (reads w{N}, the fully-merged vocabulary)."""
+    parts = [
+        f"""WITH w0 AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq,
+         ' ' || array_to_string(list_transform(generate_series(1, length(token)),
+                                               i -> token[i]), ' ') || ' ' AS sym
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents)
+  GROUP BY token
+)"""
+    ]
+    for k in range(1, N_TRAIN_MERGES + 1):
+        pat = f"(SELECT ' ' || l || ' ' || r || ' ' FROM b{k})"
+        rep = f"(SELECT ' ' || l || r || ' ' FROM b{k})"
+        sym = "sym"
+        for _ in range(MERGE_PASSES):
+            sym = f"replace({sym}, {pat}, {rep})"
+        parts.append(
+            f""",
+s{k} AS (
+  SELECT list_filter(string_split(sym, ' '), x -> x <> '') AS s, freq
+  FROM w{k - 1}
+),
+p{k} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i
+        FROM s{k} WHERE len(s) >= 2)
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+w{k} AS (SELECT token, freq, {sym} AS sym FROM w{k - 1})"""
+        )
+    return "".join(parts)
+
+
+def _bpe_train_oracle() -> str:
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, cnt FROM b{k}"
+        for k in range(1, N_TRAIN_MERGES + 1)
+    )
+    return f"{_bpe_train_ctes()}\n{sel}"
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TRAINING, not just one candidate count: learn
+    the first N_TRAIN_MERGES merges by iterating (count adjacent
+    symbol pairs weighted by word frequency → take the argmax → apply
+    the merge to every word) — the actual tokenizer-induction loop,
+    where :func:`bpe_merge_step` is the inner aggregate of one pass.
+
+    Plan posture (the kmeans_lloyd_step / connected-components
+    discipline for iterative algorithms): the FIRST aggregate reduces
+    the corpus to its vocabulary, so every later iteration is
+    corpus-size-independent — pair counting and merge application run
+    over |vocab| rows only. The driver collects exactly ONE row per
+    iteration (the argmax pair — the loop's steering scalar, same
+    class as the CC convergence sum), never row data;
+    ``localCheckpoint`` truncates the growing replace lineage each
+    step. Merge application is a narrow literal ``replace`` over the
+    space-joined symbol string (MERGE_PASSES passes, see module
+    constant), identical in both engines. Ties break on (cnt DESC,
+    left, right) so the learned merge table is total-ordered and
+    replayable. At 100 TB only the first aggregate sees data scale;
+    the training loop's cost is vocabulary-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))")
+    words = (
+        d.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .select(
+            "freq",
+            F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("sym"),
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for k in range(1, N_TRAIN_MERGES + 1):
+        syms = words.select(
+            F.filter(F.split("sym", " "), lambda x: x != F.lit("")).alias("s"),
+            "freq",
+        ).where(F.size("s") >= 2)
+        pair_structs = F.expr(
+            "transform(sequence(1, size(s) - 1), "
+            "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"
+        )
+        pairs = (
+            syms.select(F.explode(pair_structs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").first()
+        left, right, cnt = best["l"], best["r"], best["cnt"]
+        merges.append((k, left, right, left + right, cnt))
+        new_sym = F.col("sym")
+        for _ in range(MERGE_PASSES):
+            new_sym = F.replace(
+                new_sym, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+            )
+        words = words.select("freq", new_sym.alias("sym")).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, merged string, cnt bigint",
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    """Encode-apply oracle: run the identical training chain, then
+    tokenize every document against the FINAL merged vocabulary
+    w{N_TRAIN_MERGES} — per doc, words looked up in the vocabulary
+    and their post-merge symbol counts summed."""
+    w = f"w{N_TRAIN_MERGES}"
+    units = "len(list_filter(string_split(w.sym, ' '), x -> x <> ''))"
+    return f"""{_bpe_train_ctes()},
+tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum({units}) AS BIGINT) AS n_bpe_units,
+       round(CAST(sum({units}) AS DOUBLE) / count(*), 6) AS units_per_word
+FROM tok t JOIN {w} w ON t.token = w.token
+GROUP BY t.doc_id
+"""
+
+
+@query("bpe_encode_apply", oracle=_bpe_apply_oracle())
+def bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale — the second half of the
+    BPE story (:func:`bpe_train_merges` learns the merge table, this
+    key encodes with it): every document re-tokenized under the
+    learned merges, emitting per-doc word count, post-merge BPE unit
+    count, and the units-per-word fertility a tokenizer team actually
+    tracks.
+
+    Plan: the learned table is N_TRAIN_MERGES rows (collected once —
+    the bounded model side-input, same class as the classifier
+    weights in :func:`hash_ngram_classify`); merge application is a
+    narrow chain of literal ``replace`` calls (N_TRAIN_MERGES ×
+    MERGE_PASSES, identical to training) applied ONCE PER DISTINCT
+    TOKEN — the vocabulary relation, Heaps-law-bounded, NOT the
+    corpus — then broadcast-joined back to the exploded corpus, so
+    the per-occurrence work is an 8-byte lookup.  The final aggregate
+    is map-side combinable per doc_id.  At 100 TB the encode cost is
+    scan + broadcast-join + partial agg; the replace chain's cost
+    rides on |vocab|, invariant to corpus replication."""
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("token"))
+    chars = F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))")
+    sym = F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+    for left, right in merges:
+        for _ in range(MERGE_PASSES):
+            sym = F.replace(sym, F.lit(f" {left} {right} "), F.lit(f" {left}{right} "))
+    vocab = tok.select("token").distinct().select(
+        "token",
+        F.size(F.filter(F.split(sym, " "), lambda x: x != F.lit(""))).alias("n_units"),
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_units").cast("bigint").alias("n_bpe_units"),
+            F.round(
+                F.sum("n_units").cast("double") / F.count("*"), 6
+            ).alias("units_per_word"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashed-n-gram linear classifier inference (the fastText-style
+# quality-filter shape of CCNet / GPT-3-era curation)
+# ---------------------------------------------------------------------------
+
+N_HASH_BUCKETS = 256  # feature-hash dimensionality (≤ embeddings rows)
+
+
+@query(
+    "hash_ngram_classify",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+grams AS (
+  SELECT doc_id, unnest(tk) AS g FROM t
+  UNION ALL
+  SELECT doc_id, tk[i] || '_' || tk[i + 1] AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM t WHERE len(tk) >= 2)
+),
+feats AS (
+  SELECT doc_id, {DUCK_HASH64.format(expr='g')} % {N_HASH_BUCKETS} AS bucket
+  FROM grams
+),
+wt AS (
+  SELECT vec_id AS bucket, round(CAST(embedding[1] AS DOUBLE), 3) AS w
+  FROM embeddings WHERE vec_id < {N_HASH_BUCKETS}
+)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       round(sum(w.w), 6) AS score,
+       CAST(CASE WHEN round(sum(w.w), 6) > 0 THEN 1 ELSE 0 END AS INT) AS pred
+FROM feats f JOIN wt w USING (bucket)
+GROUP BY f.doc_id
+""",
+)
+def hash_ngram_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-classifier INFERENCE over hashed bag-of-n-grams — the
+    fastText-style quality-filter shape LLM curation pipelines run at
+    corpus scale (CCNet's language-model filter, the GPT-3 quality
+    classifier): unigram + bigram features hashed into N_HASH_BUCKETS
+    dimensions, a per-feature weight looked up from a model table,
+    summed per document, thresholded into a keep/drop prediction.
+    Weights are a deterministic stand-in (first embedding component of
+    the matching vec_id, rounded to 3 dp) so both engines read the
+    same model from the same parquet.
+
+    Plan: feature hashing is narrow (the md5-based shared hash, so
+    the shuffle never carries gram STRINGS — 8-byte bucket ids only);
+    the weight table is N_HASH_BUCKETS rows and explicitly
+    ``broadcast()``; scoring is ONE map-side-combinable aggregate.
+    The score is rounded to 6 dp BEFORE thresholding on both engines
+    so a boundary document cannot classify differently. At 100 TB
+    this is a scan + broadcast-join + partial agg — no wide shuffle
+    of features, only per-doc partial sums."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col().alias("tk"))
+    uni = toks.select("doc_id", F.explode("tk").alias("g"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> concat(element_at(tk, i), '_', element_at(tk, i + 1)))"
+    )
+    bi = toks.where(F.size("tk") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("g")
+    )
+    feats = uni.unionByName(bi).select(
+        "doc_id", (shared_hash64(F.col("g")) % N_HASH_BUCKETS).alias("bucket")
+    )
+    wt = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_HASH_BUCKETS)
+        .select(
+            F.col("vec_id").alias("bucket"),
+            F.round(F.element_at("embedding", 1).cast("double"), 3).alias("w"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("w"), 6).alias("score"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "score",
+        (F.col("score") > 0).cast("int").alias("pred"),
+    )

@@ -674,6 +674,92 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_LSH_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+),
+walk AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.src AS node, w.label
+  FROM edges e JOIN walk w ON e.dst = w.node
+),
+labels AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+),
+j AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars
+  FROM labels l JOIN documents d USING (doc_id)
+),
+sel AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM j
+)
+SELECT cluster_id,
+       count(*) AS n_members,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_doc,
+       CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS survivor_chars,
+       string_agg(CASE WHEN rn > 1 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS dropped_docs
+FROM sel GROUP BY cluster_id
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-exact canonical selection — the batch-exact KEEP path
+    that :func:`lsh_survivor_pick` approximates bucket-locally: run
+    connected components over the LSH pair graph, then elect ONE
+    survivor per duplicate cluster (longest ``n_chars``, ties to the
+    lower ``doc_id``) and emit the drop manifest a curation pipeline
+    actually executes (per cluster: member count, the survivor, and
+    the comma-joined sorted id list of everything to delete).
+
+    Plan: labels come from the pointer-doubling CC fixpoint
+    (:func:`_connected_components`, O(log diameter) rounds); quality
+    rides in on an equi-join against a 2-column projection of
+    ``documents``; the election is ONE ``max_by`` aggregate keyed on
+    ``(n_chars, -doc_id)`` — no window, map-side partial winners —
+    and the manifest column is a post-aggregation projection over the
+    already-grouped id list. At 100 TB the shuffle after CC carries
+    (cluster_id, doc_id, n_chars) triples only; clusters are near-dup
+    families, so per-group state is bounded by family size (the same
+    Σ family² reality every pair-emitting key in this module prices).
+    """
+    labels = dedup_clusters(spark, sf_dir)
+    j = labels.join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+    )
+    g = j.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+        ).alias("survivor_doc"),
+        F.max("n_chars").alias("survivor_chars"),
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+    )
+    dropped = F.array_join(
+        F.transform(
+            F.filter(F.col("ids"), lambda x: x != F.col("survivor_doc")),
+            lambda x: x.cast("string"),
+        ),
+        ",",
+    )
+    return g.select(
+        "cluster_id",
+        "n_members",
+        "survivor_doc",
+        "survivor_chars",
+        dropped.alias("dropped_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark contamination (cross-corpus n-gram overlap)
 # ---------------------------------------------------------------------------

@@ -71,6 +71,8 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.operators.multimodal",
         "sfdc_cdc_aws_spark.streaming.job",
         "sfdc_cdc_aws_spark.streaming.ingest_dedup",
+        "sfdc_cdc_aws_spark.streaming.ingest_ann",
+        "sfdc_cdc_aws_spark.streaming.backfill",
     ):
         try:
             importlib.import_module(mod)

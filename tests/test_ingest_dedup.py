@@ -29,3 +29,21 @@ def test_two_drains_identical(spark):
     r2 = sorted(map(tuple, stream_minhash_ingest(spark, SF).collect()))
     assert r1 == r2
     assert len(r1) > 0
+
+
+def test_stream_ann_ingest_stateless_and_deterministic(spark):
+    """The ANN admission screen must be STATELESS (append mode, no
+    state stores — probe selection is a narrow expression, not a
+    window/agg) and drain-deterministic across fresh checkpoints."""
+    from sfdc_cdc_aws_spark.streaming import job
+    from sfdc_cdc_aws_spark.streaming.ingest_ann import stream_ann_ingest
+
+    r1 = sorted(map(tuple, stream_ann_ingest(spark, SF).collect()))
+    state = job.LAST_DRAIN_STATE.get("ann_ingest")
+    assert state is None or state.get("max_state_rows", 0) == 0, state
+    r2 = sorted(map(tuple, stream_ann_ingest(spark, SF).collect()))
+    assert r1 == r2
+    # screening verdicts are (new, corpus) pairs with admitted cosine
+    for new_vec, corpus_vec, cos_sim in r1:
+        assert new_vec % 4 == 0 and corpus_vec % 4 != 0
+        assert cos_sim >= 0.3

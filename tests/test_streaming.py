@@ -195,3 +195,32 @@ def test_split_corrupt_quarantines_poison_records(spark):
     assert {r["partitionKey"] for r in bad.collect()} == {"p1", "p2", "p3"}
     # the good side parses identically to the clean feed
     assert parse_wire(good).count() == parse_wire(clean).count()
+
+
+def test_backfill_handoff_seam_reconciles(spark):
+    """The seam must neither drop nor double-count: merged per-record
+    counts equal a one-pass batch aggregate over the full feed, the
+    per-side counts partition each record's total, and both sides of
+    the seam are non-empty corpus-wide (the cut actually splits the
+    feed)."""
+    from sfdc_cdc_aws_spark.streaming.backfill import stream_backfill_handoff
+    from sfdc_cdc_aws_spark.streaming.job import WIRE_SCHEMA, parse_wire
+
+    landing = ensure_landing(spark, SF)
+    full = parse_wire(spark.read.schema(WIRE_SCHEMA).json(landing))
+    onepass = {
+        r["record_id"]: (r["n"], r["last"])
+        for r in full.groupBy("record_id")
+        .agg(F.count("*").alias("n"), F.max("replay_id").alias("last"))
+        .collect()
+    }
+    rows = stream_backfill_handoff(spark, SF).collect()
+    assert len(rows) == len(onepass)
+    tot_backfill = tot_live = 0
+    for r in rows:
+        n, last = onepass[r["record_id"]]
+        assert (r["n_changes"], r["last_replay"]) == (n, last), r
+        assert r["n_backfill"] + r["n_live"] == r["n_changes"], r
+        tot_backfill += r["n_backfill"]
+        tot_live += r["n_live"]
+    assert tot_backfill > 0 and tot_live > 0, (tot_backfill, tot_live)

@@ -80,3 +80,107 @@ def test_quantize_range_and_scale(spark):
     for r in rows:
         per_vec[r["vec_id"]] += 1
     assert set(per_vec.values()) == {QUANT_PROBE_DIMS}
+
+
+def test_bpe_train_merges_invariants(spark):
+    """Training-loop invariants: ranks are 1..N with no gaps, merged
+    is the concatenation of its sides, and the winning pair count is
+    monotone non-increasing (a merge can only shrink or preserve every
+    other pair's count, and any NEW pair containing the merged symbol
+    is bounded by that symbol's own occurrence count)."""
+    from sfdc_cdc_aws_spark.operators.curation import (
+        N_TRAIN_MERGES,
+        bpe_train_merges,
+    )
+
+    rows = bpe_train_merges(spark, SF).orderBy("merge_rank").collect()
+    assert [r["merge_rank"] for r in rows] == list(range(1, N_TRAIN_MERGES + 1))
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+        assert r["cnt"] > 0
+
+
+def test_hash_ngram_classify_splits_and_bounds(spark):
+    """The classifier must actually discriminate on this corpus (both
+    predicted classes non-empty — a filter that keeps everything
+    verifies nothing) and feature counts must be bounded by the
+    unigram+bigram budget (2·len - 1)."""
+    from sfdc_cdc_aws_spark.operators.curation import hash_ngram_classify
+    from sfdc_cdc_aws_spark.operators.text import tokens_col
+    from sfdc_cdc_aws_spark.sources import load_table
+
+    res = hash_ngram_classify(spark, SF)
+    by_pred = dict(
+        res.groupBy("pred").count().rdd.map(lambda r: (r["pred"], r["count"])).collect()
+    )
+    assert by_pred.get(0, 0) > 0 and by_pred.get(1, 0) > 0, by_pred
+    lens = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(tokens_col()).alias("n_tok")
+    )
+    joined = res.join(lens, "doc_id").where(
+        F.col("n_feats") > 2 * F.col("n_tok") - 1
+    )
+    assert joined.count() == 0
+
+
+def test_dedup_keep_best_manifest_consistency(spark):
+    """The drop manifest must reconcile exactly with the cluster
+    labels: every cluster has >= 2 members, the survivor is a cluster
+    member with the cluster-max n_chars (ties to the lowest doc_id),
+    survivor never appears in dropped_docs, and survivors+dropped
+    partition the clustered doc set."""
+    from sfdc_cdc_aws_spark.operators.dedup import dedup_clusters, dedup_keep_best
+    from sfdc_cdc_aws_spark.sources import load_table
+
+    manifest = dedup_keep_best(spark, SF).collect()
+    labels = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, SF).collect()
+    }
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    }
+    seen = set()
+    for m in manifest:
+        dropped = [int(x) for x in m["dropped_docs"].split(",")] if m["dropped_docs"] else []
+        members = dropped + [m["survivor_doc"]]
+        assert m["n_members"] == len(members) >= 2
+        assert m["survivor_doc"] not in dropped
+        for d in members:
+            assert labels[d] == m["cluster_id"]
+        best = max(members, key=lambda d: (chars[d], -d))
+        assert m["survivor_doc"] == best
+        assert m["survivor_chars"] == chars[best]
+        seen.update(members)
+    assert seen == set(labels)
+
+
+def test_bpe_encode_apply_fertility_bounds(spark):
+    """Encode-apply invariants: every word becomes at least 1 and at
+    most len(word) BPE units (merges only ever shrink the symbol
+    sequence), the corpus-level unit total is strictly below the
+    pre-merge character total (the learned merges actually fired),
+    and fertility is the ratio of the two count columns."""
+    from sfdc_cdc_aws_spark.operators.curation import bpe_encode_apply
+    from sfdc_cdc_aws_spark.operators.text import tokens_col
+    from sfdc_cdc_aws_spark.sources import load_table
+
+    res = bpe_encode_apply(spark, SF)
+    base = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", F.explode(tokens_col()).alias("t"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_w"), F.sum(F.length("t")).alias("n_ch"))
+    )
+    j = res.join(base, "doc_id").collect()
+    assert len(j) == base.count()
+    fired = 0
+    for r in j:
+        assert r["n_words"] == r["n_w"]
+        assert r["n_words"] <= r["n_bpe_units"] <= r["n_ch"]
+        assert abs(r["units_per_word"] - r["n_bpe_units"] / r["n_words"]) < 1e-6
+        if r["n_bpe_units"] < r["n_ch"]:
+            fired += 1
+    assert fired > 0

@@ -59,6 +59,11 @@ EXPLAINED_SUPERLINEAR = {
     "candidate pair; same pair-space class",
     "embedding_neardup": "IVF cells hold K× members around identical "
     "centroids by construction → Σ cell² grows ~K²; oracle pays the same",
+    "fuzzy_entity_match": "replicas shift c_custkey but keep c_name "
+    "verbatim, so every (nation, prefix) block gains K× identical "
+    "members → Σ block² grows ~K² and true match output grows ~K²; "
+    "oracle pays the same (in production exact dedup upstream removes "
+    "verbatim-name replicas before fuzzy matching)",
 }
 
 
