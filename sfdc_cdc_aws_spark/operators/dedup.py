@@ -1383,3 +1383,125 @@ def editdist_verify_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim, 6).alias("edit_similarity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ensemble near-dup vote (minhash-LSH ∩ ngram-Jaccard ∩ simhash)
+# ---------------------------------------------------------------------------
+
+ENSEMBLE_MIN_VOTES = 2
+
+
+@query(
+    "neardup_ensemble_vote",
+    oracle=f"""
+WITH {_DUCK_LSH_PAIRS_CTE},
+etoks AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS t FROM documents
+),
+g4 AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+             list_distinct(list_transform(generate_series(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS h
+  FROM etoks WHERE len(t) >= 4
+),
+g4sizes AS (SELECT doc_id, count(*) AS n FROM g4 GROUP BY doc_id),
+g4inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM g4 a JOIN g4 b
+    ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b
+  FROM g4inter i
+  JOIN g4sizes s1 ON i.doc_a = s1.doc_id
+  JOIN g4sizes s2 ON i.doc_b = s2.doc_id
+  WHERE CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common)
+        >= {JACCARD_MIN}
+),
+ehashed AS (
+  SELECT doc_id, list_transform(t, s -> {DUCK_HASH64.format(expr='s')}) AS hs
+  FROM etoks WHERE len(t) > 0
+),
+esims AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(0, {N_SIMHASH_BITS - 1}),
+           j -> CASE WHEN list_sum(list_transform(hs,
+                         x -> ((x >> j) & 1) * 2 - 1)) > 0
+                THEN 1 << j ELSE 0 END))::BIGINT AS simhash
+  FROM ehashed
+),
+simpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM esims a JOIN esims b
+    ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+),
+allp AS (
+  SELECT doc_a, doc_b, 'minhash' AS method FROM lsh_pairs
+  UNION ALL SELECT doc_a, doc_b, 'ngram' AS method FROM jac
+  UNION ALL SELECT doc_a, doc_b, 'simhash' AS method FROM simpairs
+)
+SELECT doc_a, doc_b,
+       CAST(count(*) AS BIGINT) AS n_votes,
+       string_agg(method, ',' ORDER BY method) AS methods
+FROM allp GROUP BY doc_a, doc_b
+HAVING count(*) >= {ENSEMBLE_MIN_VOTES}
+""",
+)
+def neardup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-duplicate detection — the production curation
+    reality that no single signature family is trusted alone (each
+    has a distinct blind spot: MinHash-LSH misses pairs whose banding
+    never collides, 4-gram Jaccard misses heavy paraphrase, SimHash
+    exact-collision misses any bit flip): run all three generators
+    and keep pairs confirmed by at least ENSEMBLE_MIN_VOTES methods,
+    with per-pair method provenance.
+
+    Plan posture: pure composition — the three candidate relations
+    are the ALREADY-blocked pipelines (LSH band buckets with
+    salt-split caps, shingle posting lists with observed caps,
+    16-bit signature equality classes), so the union never introduces
+    a new pair-space blow-up; the vote is ONE map-side-combinable
+    aggregate keyed on the (doc_a, doc_b) pair, and provenance is a
+    sorted string_agg, deterministic across engines. At 100 TB this
+    is the cheapest ensemble shape there is: three narrow signature
+    shuffles + one pair-keyed count, no cross-family join."""
+    m = minhash_lsh_dedup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit("minhash").alias("method")
+    )
+    j = ngram_jaccard_dedup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit("ngram").alias("method")
+    )
+    # materialize the signature relation once: the self-join would
+    # otherwise recompute the 16-bit vote aggregate on BOTH sides
+    # (the lsh_eval_pr discipline — audit inputs run once)
+    s = (
+        simhash_dedup(spark, sf_dir)
+        .select("doc_id", "simhash")
+        .localCheckpoint()
+    )
+    sp = (
+        s.alias("a")
+        .join(s.alias("b"), "simhash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit("simhash").alias("method"),
+        )
+    )
+    return (
+        m.unionByName(j)
+        .unionByName(sp)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_votes"),
+            F.array_join(F.sort_array(F.collect_list("method")), ",").alias(
+                "methods"
+            ),
+        )
+        .where(F.col("n_votes") >= ENSEMBLE_MIN_VOTES)
+    )

@@ -689,6 +689,116 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_LLOYD_EX = """
+  SELECT cent_id, CAST(i - 1 AS INT) AS dim,
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10)) AS v
+  FROM (SELECT cent_id, embedding,
+               unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS i
+        FROM {src})
+""".strip()
+
+
+@query(
+    "ivf_train_centroids",
+    oracle=f"""
+WITH {_DUCK_ASSIGN_CTE},
+ex1 AS (
+{_DUCK_LLOYD_EX.format(src='assign')}
+),
+m1 AS (
+  SELECT cent_id, dim, round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS coord
+  FROM ex1 GROUP BY cent_id, dim
+),
+c2 AS (
+  SELECT cent_id, list(coord ORDER BY dim) AS c_emb FROM m1 GROUP BY cent_id
+),
+assign2 AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {DUCK_COSINE.format(a='e.embedding', b='c.c_emb')} DESC,
+                      c.cent_id) AS rn
+    FROM embeddings e, c2 c
+  ) WHERE rn = 1
+),
+ex2 AS (
+{_DUCK_LLOYD_EX.format(src='assign2')}
+)
+SELECT cent_id, dim,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS coord,
+       count(*) AS n_members
+FROM ex2 GROUP BY cent_id, dim
+""",
+)
+def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the IVF coarse quantizer instead of trusting the seeds:
+    a second full Lloyd iteration — recenter (the
+    :func:`kmeans_lloyd_step` means, ROUNDED to 6 dp so both engines
+    reassign against bit-identical centroids), reassign every vector
+    to its nearest refined centroid, recenter again — emitting the
+    trained quantizer as per-(centroid, dimension) means with final
+    cell populations. This is the index-build step a production
+    IVF deployment runs offline; `ann_ivf_topk` / `stream_ann_ingest`
+    probe whatever quantizer the index was built with.
+
+    Plan posture: the refined quantizer between iterations is k×d
+    ROUNDED scalars (16×64) collected ONCE — the bounded model
+    side-input class (the quantizer IS what makes IVF an index) —
+    and re-broadcast as a k-row relation, so reassignment is the
+    same broadcast-crossJoin + map-side ``max_by`` argmax as
+    :func:`ivf_assignments`: the corpus never sorts, no window, the
+    shuffle carries one row per vector then k×d partial sums.
+    Decimal(28,10) summation keeps both engines associative;
+    ranking uses the rounded cosine + cent_id tiebreak so a
+    final-ulp difference cannot flip an assignment."""
+    a = ensure_ivf_index(spark, sf_dir)
+    v = F.col("x").cast("double").cast("decimal(28,10)")
+    m1 = (
+        a.select("cent_id", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cent_id", "dim")
+        .agg(F.round(F.sum(v).cast("double") / F.count("*"), 6).alias("coord"))
+    )
+    by_cent: dict[int, dict[int, float]] = {}
+    for r in m1.collect():  # k x d rounded scalars — the quantizer itself
+        by_cent.setdefault(r["cent_id"], {})[r["dim"]] = r["coord"]
+    cents2 = [
+        (cid, [dims[i] for i in sorted(dims)]) for cid, dims in by_cent.items()
+    ]
+    c2 = F.broadcast(
+        spark.createDataFrame(
+            [(cid, emb, sum(x * x for x in emb) ** 0.5) for cid, emb in cents2],
+            "cent_id int, c_emb array<double>, c_nrm double",
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings", widen=True).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    cos = cosine_prenorm(
+        F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")
+    )
+    assign2 = (
+        e.crossJoin(c2)
+        .select("vec_id", "embedding", "cent_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.max_by(
+                F.col("cent_id"),
+                F.struct(F.col("cos"), (-F.col("cent_id")).alias("t")),
+            ).alias("cent_id"),
+        )
+    )
+    return (
+        assign2.select("cent_id", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cent_id", "dim")
+        .agg(
+            F.round(F.sum(v).cast("double") / F.count("*"), 6).alias("coord"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # product quantization — the codebook compression behind IVF-PQ
 # ---------------------------------------------------------------------------

@@ -588,3 +588,111 @@ def bayeux_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "commit_ts_ms",
             "replay_id",
         ).localCheckpoint()
+
+
+@query(
+    "bayeux_multi_topic",
+    oracle=f"""
+WITH {CHANGES_CTE}
+SELECT '/data/' || entity_name || 'ChangeEvent' AS topic,
+       entity_name, record_id, uid, change_type, commit_ts_ms, replay_id
+FROM changes WHERE replay_id <= 600
+""",
+)
+def bayeux_multi_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-topic fan-in with INDEPENDENT per-topic replay resume
+    across a forced auth failover — the production subscription shape
+    (the real bus exposes one CDC channel per object; EmpConnector
+    keeps one replayId per subscription, ReplayExtension.java:38-49,
+    and must resume EACH channel from ITS OWN position after a
+    failover, EmpConnector.java:187-203).
+
+    The served prefix (replayId <= 600) is split by entity into five
+    per-topic sequences on the scripted bus; the client subscribes all
+    five from EARLIEST into per-topic buffers; after three polls the
+    server REVOKES the token, so the next poll 401s, the client
+    reauthenticates (token provider handed a rotated token) and
+    resubscribes every topic from its last seen replayId. The builder
+    asserts the failover actually happened (two handshakes) and that
+    every topic landed exactly its served count (no loss, no
+    redelivery across the seam); the oracle hash then verifies the
+    full fan-in content. A dropped or doubled event on ANY topic's
+    cursor — e.g. resubscribing all topics from one shared replayId —
+    fails here."""
+    import base64
+    import json as _json
+    import tempfile
+
+    from sfdc_cdc_aws_spark.sources.bayeux import BayeuxConnector
+    from sfdc_cdc_aws_spark.sources.bayeux_testing import ScriptedBayeuxServer
+    from sfdc_cdc_aws_spark.sources.cdc_feed import envelopes
+    from sfdc_cdc_aws_spark.streaming.job import WIRE_SCHEMA, parse_wire
+
+    CUT = 600  # events served — keep in sync with the oracle predicate
+    served = [
+        _json.loads(base64.b64decode(r["wire"]))
+        for r in envelopes(spark, sf_dir)
+        .where(F.col("envelope.event.replayId") <= CUT)
+        .orderBy("envelope.event.replayId")
+        .select("wire")
+        .collect()  # bounded by CUT — the bus fixture, not data flow
+    ]
+    by_topic: dict[str, list] = {}
+    for e in served:
+        ent = e["payload"]["ChangeEventHeader"]["entityName"]
+        by_topic.setdefault(f"/data/{ent}ChangeEvent", []).append(e)
+
+    buffers: dict[str, list] = {t: [] for t in by_topic}
+    with tempfile.TemporaryDirectory(prefix="bayeux_mt_") as tmp:
+        with ScriptedBayeuxServer(by_topic, batch=20, token="t0") as srv:
+            # stateful provider: a reauth rotates the credential and the
+            # rotated token serves every later call (the old one is dead)
+            tok = {"cur": "t0"}
+
+            def _provider(reauth: bool) -> str:
+                if reauth:
+                    tok["cur"] = "t1"
+                    srv.valid_tokens = {"t1"}
+                return tok["cur"]
+
+            client = BayeuxConnector(srv.url, _provider)
+            client.start()
+            for t in sorted(by_topic):
+                client.subscribe_earliest(
+                    t, (lambda buf: lambda d: buf.append(d))(buffers[t])
+                )
+            total = len(served)
+            for poll in range(200):
+                client.poll_once()
+                if poll == 2:
+                    # revoke mid-drain: every topic has undelivered
+                    # events left (batch=20/poll vs >100 per topic)
+                    srv.valid_tokens = {"t1"}
+                if sum(len(b) for b in buffers.values()) >= total:
+                    break
+            client.stop()
+        assert srv._client_seq >= 2, "failover never happened"
+        for t, seq in by_topic.items():
+            assert len(buffers[t]) == len(seq), (
+                f"{t}: landed {len(buffers[t])}/{len(seq)} across failover"
+            )
+        with open(os.path.join(tmp, "landing.json"), "w") as f:
+            for t in sorted(buffers):
+                pk = t.rsplit("/", 1)[-1]
+                for data in buffers[t]:
+                    wire = base64.b64encode(_json.dumps(data).encode()).decode()
+                    f.write(
+                        _json.dumps({"partitionKey": pk, "data": wire}) + "\n"
+                    )
+        parsed = parse_wire(spark.read.schema(WIRE_SCHEMA).json(tmp))
+        return parsed.select(
+            F.concat(
+                F.lit("/data/"), F.col("entity_name"), F.lit("ChangeEvent")
+            ).alias("topic"),
+            "entity_name",
+            "record_id",
+            "uid",
+            "change_type",
+            "commit_ts_ms",
+            "replay_id",
+        ).localCheckpoint()  # detach before the tempdir vanishes

@@ -27,10 +27,26 @@ from sfdc_cdc_aws_spark.sources.bayeux import (
 class ScriptedBayeuxServer:
     """Serves ``events`` (envelope dicts carrying event.replayId, in
     replay order) on a random localhost port; ``batch`` events per
-    long poll. Use as a context manager."""
+    long poll. Use as a context manager.
 
-    def __init__(self, events: list[dict], batch: int = 100, token: str = "tok"):
-        self.events = events
+    ``events`` may also be a ``dict[topic, list]`` — the real bus's
+    per-object CDC channels, each with its OWN independent replay
+    sequence (a subscribe to an unknown topic then serves nothing).
+    The flat-list form keeps the original behavior: every topic
+    serves the same sequence."""
+
+    def __init__(
+        self,
+        events: list[dict] | dict[str, list[dict]],
+        batch: int = 100,
+        token: str = "tok",
+    ):
+        self._by_topic = events if isinstance(events, dict) else None
+        self.events = (
+            [e for seq in events.values() for e in seq]
+            if isinstance(events, dict)
+            else events
+        )
         self.batch = batch
         self.valid_tokens = {token}
         self.cursors: dict[str, int] = {}
@@ -68,6 +84,11 @@ class ScriptedBayeuxServer:
     def __exit__(self, *exc) -> None:
         self.httpd.shutdown()
 
+    def _events_for(self, topic: str) -> list[dict]:
+        if self._by_topic is None:
+            return self.events
+        return self._by_topic.get(topic, [])
+
     def _handle(self, m: dict) -> list[dict]:
         ch = m["channel"]
         if ch == "/meta/handshake":
@@ -84,12 +105,11 @@ class ScriptedBayeuxServer:
         if ch == "/meta/subscribe":
             topic = m["subscription"]
             rf = m["ext"]["replay"][topic]
+            seq = self._events_for(topic)
             if rf == REPLAY_FROM_EARLIEST:
                 cursor = -(10**18)  # before any replayId
             elif rf == REPLAY_FROM_TIP:
-                cursor = (
-                    self.events[-1]["event"]["replayId"] if self.events else 0
-                )
+                cursor = seq[-1]["event"]["replayId"] if seq else 0
             else:
                 cursor = int(rf)
             self.cursors[f"{m['clientId']}:{topic}"] = cursor
@@ -101,7 +121,9 @@ class ScriptedBayeuxServer:
                 if cid != m["clientId"]:
                     continue
                 batch = [
-                    e for e in self.events if e["event"]["replayId"] > cursor
+                    e
+                    for e in self._events_for(topic)
+                    if e["event"]["replayId"] > cursor
                 ][: self.batch]
                 out.extend({"channel": topic, "data": e} for e in batch)
                 if batch:

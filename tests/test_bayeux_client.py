@@ -479,3 +479,56 @@ def test_stream_reader_skips_events_without_replay_id():
     assert r._buffer == []
     r._consumer(_event(5))
     assert [t[0] for t in r._buffer] == [5]
+
+
+def test_multi_topic_independent_replay_resume_across_failover():
+    """Two topics with DISJOINT replay sequences: failover mid-drain
+    must resume each topic from its OWN last-seen replayId — a client
+    that resubscribed both from one shared position would redeliver
+    on one topic and lose on the other."""
+    from sfdc_cdc_aws_spark.sources.bayeux_testing import ScriptedBayeuxServer
+
+    def _ev(rid, ent):
+        return {
+            "payload": {
+                "ChangeEventHeader": {
+                    "entityName": ent,
+                    "changeType": "UPDATE",
+                    "commitTimestamp": 1000 + rid,
+                    "recordIds": [f"00D{rid:015d}"],
+                }
+            },
+            "event": {"replayId": rid},
+        }
+
+    # topic A holds odd replayIds, topic B even — positions diverge
+    topics = {
+        "/data/AChangeEvent": [_ev(r, "A") for r in range(1, 20, 2)],
+        "/data/BChangeEvent": [_ev(r, "B") for r in range(2, 21, 2)],
+    }
+    got = {t: [] for t in topics}
+    with ScriptedBayeuxServer(topics, batch=2, token="t0") as srv:
+        state = {"cur": "t0"}
+
+        def provider(reauth):
+            if reauth:
+                state["cur"] = "t1"
+                srv.valid_tokens = {"t1"}
+            return state["cur"]
+
+        c = BayeuxConnector(srv.url, provider)
+        c.start()
+        for t in topics:
+            c.subscribe_earliest(t, (lambda b: lambda d: b.append(d))(got[t]))
+        c.poll_once()  # 2 events per topic delivered
+        before = {t: c.last_replay_id(t) for t in topics}
+        assert before["/data/AChangeEvent"] == 3
+        assert before["/data/BChangeEvent"] == 4
+        srv.valid_tokens = {"t1"}  # revoke: next poll must fail over
+        while sum(len(v) for v in got.values()) < 20:
+            c.poll_once()
+        c.stop()
+    assert srv._client_seq >= 2  # handshake happened again
+    for t, seq in topics.items():
+        rids = [d["event"]["replayId"] for d in got[t]]
+        assert rids == [e["event"]["replayId"] for e in seq], t

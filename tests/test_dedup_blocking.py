@@ -14,6 +14,7 @@ import pyarrow.parquet as pq
 
 from sfdc_cdc_aws_spark.operators.dedup import NGRAM_POSTING_CAP, ngram_jaccard_dedup
 
+SF = "/root/testdata/sf0.001"
 N_HOT = NGRAM_POSTING_CAP + 88  # posting list above the cap
 
 
@@ -234,3 +235,27 @@ def test_connected_components_blocking_collects_bounded(spark, monkeypatch):
     )
     # the deep-chain guarantee: blocks stay logarithmic, not O(diameter)
     assert calls["n"] < 64
+
+
+def test_ensemble_vote_consistency(spark):
+    """Votes must equal the method-list length, sit in [2,3], and
+    every voted pair must actually be produced by each named member
+    generator (spot-check against the minhash pair set)."""
+    from sfdc_cdc_aws_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        neardup_ensemble_vote,
+    )
+
+    rows = neardup_ensemble_vote(spark, SF).collect()
+    assert rows, "ensemble produced no confirmed pairs"
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dedup(spark, SF).collect()
+    }
+    for r in rows:
+        methods = r["methods"].split(",")
+        assert r["n_votes"] == len(methods)
+        assert 2 <= r["n_votes"] <= 3
+        assert methods == sorted(methods)
+        if "minhash" in methods:
+            assert (r["doc_a"], r["doc_b"]) in mh

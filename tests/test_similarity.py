@@ -10,6 +10,7 @@ operator still matches its oracle.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from sfdc_cdc_aws_spark.registry import load_all
 
@@ -83,3 +84,27 @@ def test_rhp_lsh_finds_planted_neardups(spark, tmp_path):
     # verify step should be dominated by real structure, not the n²
     # random background (which would be ~1.6% of 80k pairs ≈ 1300)
     assert len(got) < 500, f"blocking admitted too much background: {len(got)}"
+
+
+def test_ivf_training_moves_assignments(spark):
+    """The trained quantizer must cover all cells, account for every
+    vector exactly once, and actually CHANGE at least one assignment
+    vs the seed quantizer (otherwise 'training' did nothing)."""
+    from sfdc_cdc_aws_spark.operators.similarity import (
+        N_CENTROIDS,
+        ensure_ivf_index,
+        ivf_train_centroids,
+    )
+
+    rows = ivf_train_centroids(spark, SF).collect()
+    cells = {r["cent_id"] for r in rows}
+    assert len(cells) == N_CENTROIDS
+    n_total = sum(r["n_members"] for r in rows if r["dim"] == 0)
+    seed = ensure_ivf_index(spark, SF)
+    assert n_total == seed.count()
+    seed_sizes = {
+        r["cent_id"]: r["n"]
+        for r in seed.groupBy("cent_id").agg(F.count("*").alias("n")).collect()
+    }
+    trained_sizes = {r["cent_id"]: r["n_members"] for r in rows if r["dim"] == 0}
+    assert trained_sizes != seed_sizes, "second Lloyd pass was a no-op"

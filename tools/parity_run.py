@@ -29,10 +29,22 @@ from tests.oracle import compare  # noqa: E402
 
 def main() -> int:
     sf = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.1")
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY_SF01.json"
+    args = [a for a in sys.argv[1:] if not a.startswith("--keys")]
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--keys="):
+            only = set(a.split("=", 1)[1].split(","))
+    out_path = args[0] if args else "PARITY_SF01.json"
     spark = get_session("parity")
     specs = load_all()
     report: dict[str, dict] = {}
+    if only is not None:
+        # incremental merge: re-verify ONLY the named keys, keep the
+        # rest of the committed artifact (late-added keys after a full
+        # campaign)
+        with open(os.path.join(REPO, out_path)) as f:
+            report = json.load(f)["keys"]
+        specs = {k: v for k, v in specs.items() if k in only}
     n_fail = 0
     for i, name in enumerate(sorted(specs), 1):
         spec = specs[name]
@@ -62,16 +74,17 @@ def main() -> int:
         report[name] = row
         status = "OK " if row["ok"] else "FAIL"
         print(f"[{i:3d}/{len(specs)}] {status} {name} {row['wall_sec']}s", flush=True)
+    n_ok = sum(1 for r in report.values() if r["ok"])
     artifact = {
         "sf_dir": sf,
-        "n_keys": len(specs),
-        "n_ok": len(specs) - n_fail,
-        "n_fail": n_fail,
+        "n_keys": len(report),
+        "n_ok": n_ok,
+        "n_fail": len(report) - n_ok,
         "keys": report,
     }
     with open(os.path.join(REPO, out_path), "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
-    print(f"wrote {out_path}: {artifact['n_ok']}/{len(specs)} ok")
+    print(f"wrote {out_path}: {n_ok}/{len(report)} ok")
     return 1 if n_fail else 0
 
 

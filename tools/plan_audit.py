@@ -47,6 +47,7 @@ MATERIALIZED_KEYS = {
     "partitioned_sink_roundtrip",
     "bayeux_live_roundtrip",
     "bayeux_stream_roundtrip",
+    "bayeux_multi_topic",
     "compaction_execute",
 }
 
@@ -65,12 +66,14 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     },
     "bnlj": {
         "ann_ivf_topk": "build side = N_QUERIES x N_PROBE probed-centroid pairs — constants of the query, not the corpus",
+        "ivf_train_centroids": "build side = the k=16-row refined quantizer relation — index constants, not the corpus (same class as ann_ivf_topk)",
         "bigram_lm_score": "corpus log-prob scalar — one-row build side",
         "bigram_pmi": "two corpus-total scalars — one-row build sides",
         "bm25_score": "corpus stats (N, avgdl) scalar — one row",
         "contrastive_pair_mining": "anchor set bounded by the configured query count",
         "heavy_hitters_sketch": "stream-total scalar for the error bound — one row",
         "join_cardinality_estimate": "join-size total scalar — one row",
+        "ann_eval_recall": "three scalar count relations cross-joined into the one-row recall report (same class as lsh_eval_pr)",
         "lsh_eval_pr": "three scalar count relations cross-joined into the one-row report",
         "pagerank_step": "node-count / teleport scalar — one row",
         "quantile_bucketize": "build side is ONE row of three percentile boundaries",
