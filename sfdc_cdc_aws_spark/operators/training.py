@@ -141,6 +141,78 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A-ES weighted sampling: per-stratum sample size and the uniform's
+# modulus (u = (h % M + 1) / (M + 1) ∈ (0, 1], never exactly 0 so
+# ln(u) is finite)
+ARES_K = 5
+ARES_MOD = 1_000_000
+
+
+@query(
+    "weighted_sample_ares",
+    oracle=f"""
+WITH keyed AS (
+  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+         round(ln((({DUCK_HASH64.format(expr="'ares:' || CAST(doc_id AS VARCHAR)")})
+                   % {ARES_MOD} + 1) / {ARES_MOD + 1}.0)
+               / n_chars, 6) AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT lang, doc_id, weight, CAST(rn AS INT) AS sample_rank FROM (
+  SELECT lang, doc_id, weight,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY k DESC, doc_id) AS rn
+  FROM keyed
+) WHERE rn <= {ARES_K}
+""",
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement per stratum —
+    the Efraimidis–Spiridonov A-ES scheme every "sample k docs per
+    language, proportional to length/quality" request reduces to:
+    each doc draws key u^(1/w) (equivalently ln(u)/w, monotone) from
+    a salted content-hash uniform, and the per-stratum top-k by key
+    IS an exact weighted sample without replacement. Deterministic by
+    construction: the sample is reproducible across runs, engines,
+    partitionings, and incremental ingestion (a doc's key never
+    depends on the rest of the batch — the same property
+    :func:`source_mixture_sample` has for Bernoulli sampling, here
+    for exact-k).
+
+    Cross-engine discipline: u comes from the shared md5 hash so both
+    engines draw the SAME uniform; the key is rounded to 6 dp before
+    ranking with a doc_id tiebreak, so a final-ulp ln() difference
+    cannot reorder the boundary. Scale shape: per-stratum top-k is a
+    rank window partitioned by lang — Spark's WindowGroupLimit keeps
+    only k rows per partition before the final sort, so the shuffle
+    carries ~k·|strata| candidates, not the corpus; at 100 TB this is
+    the textbook one-pass distributed sample (no per-stratum count
+    pass, no rejection loop)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        shared_hash64(F.concat(F.lit("ares:"), F.col("doc_id").cast("string")))
+        % ARES_MOD
+        + 1
+    ) / F.lit(float(ARES_MOD + 1))
+    k = F.round(F.log(u) / F.col("n_chars"), 6)
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("k"), "doc_id")
+    )
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            k.alias("k"),
+        )
+        .withColumn("sample_rank", rn)
+        .where(F.col("sample_rank") <= ARES_K)
+        .drop("k")
+    )
+
+
 QUANT_PROBE_DIMS = 8  # dims exposed to the oracle check per vector
 
 

@@ -184,3 +184,41 @@ def test_bpe_encode_apply_fertility_bounds(spark):
         if r["n_bpe_units"] < r["n_ch"]:
             fired += 1
     assert fired > 0
+
+
+def test_weighted_sample_ares_matches_bruteforce(spark):
+    """The A-ES sample is fully deterministic, so a driver-side
+    recomputation of the key formula (md5 uniform → ln(u)/w, 6 dp,
+    doc_id tiebreak) must reproduce the exact per-stratum top-k the
+    engine selected."""
+    import hashlib
+    import math
+
+    from sfdc_cdc_aws_spark.operators.training import (
+        ARES_K,
+        ARES_MOD,
+        weighted_sample_ares,
+    )
+    from sfdc_cdc_aws_spark.sources import load_table
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("lang", "doc_id", "n_chars")
+        .where(F.col("n_chars") > 0)
+        .collect()
+    )
+    by_lang = {}
+    for r in docs:
+        h = int(hashlib.md5(f"ares:{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        u = (h % ARES_MOD + 1) / (ARES_MOD + 1)
+        k = round(math.log(u) / r["n_chars"], 6)
+        by_lang.setdefault(r["lang"], []).append((-k, r["doc_id"], r["n_chars"]))
+    expected = set()
+    for lang, rows in by_lang.items():
+        for rank, (_negk, doc_id, n_chars) in enumerate(sorted(rows)[:ARES_K], 1):
+            expected.add((lang, doc_id, n_chars, rank))
+    got = {
+        (r["lang"], r["doc_id"], r["weight"], r["sample_rank"])
+        for r in weighted_sample_ares(spark, SF).collect()
+    }
+    assert got == expected
