@@ -247,15 +247,23 @@ lsh_pairs AS (
 """.strip()
 
 
-def lsh_bucket_pairs(bands: DataFrame) -> DataFrame:
-    """Intra-bucket candidate pairs for an LSH banding relation
-    (doc_id, band_id, bucket) — one row per (pair, band) — with a
-    two-path plan split on bucket width:
+def salted_bucket_pairs(
+    rel: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    metric_name: str,
+    count_alias: str = "salted_buckets",
+) -> DataFrame:
+    """Intra-bucket candidate pairs for ANY blocking relation
+    (*key_cols, doc_id) — one row per (pair, bucket) — with a
+    two-path plan split on bucket width. Shared by MinHash-LSH band
+    buckets and n-gram shingle posting lists (any inverted-index
+    blocker reduces to this shape):
 
-    - **narrow buckets** (≤ MINHASH_BUCKET_CAP): collect the bucket's
-      sorted id list in one aggregation and expand pairs with
-      higher-order array functions — one shuffle, doc_a < doc_b by
-      construction, no per-pair join.
+    - **narrow buckets** (≤ cap): collect the bucket's sorted id
+      list in one aggregation and expand pairs with higher-order
+      array functions — one shuffle, doc_a < doc_b by construction,
+      no per-pair join.
     - **over-cap buckets** (boilerplate-heavy families — the 100 TB
       crawl reality): SALT-SPLIT instead of excluded (round-6 verdict
       item 2; the exclusion silently dropped exactly the densest
@@ -269,21 +277,19 @@ def lsh_bucket_pairs(bands: DataFrame) -> DataFrame:
       (min(uₓ,uᵧ), max(uₓ,uᵧ)), so output parity with the narrow path
       is structural, not probabilistic.
 
-    Over-cap buckets are still OBSERVED (``salted_buckets`` in the
-    ``minhash_lsh_blocking`` metric) so a run reports how much of the
+    Over-cap buckets are still OBSERVED (``count_alias`` in the
+    ``metric_name`` metric) so a run reports how much of the
     corpus took the quadratic path."""
     sizes = (
-        bands.groupBy("band_id", "bucket")
+        rel.groupBy(*key_cols)
         .agg(F.count("*").alias("bsz"))
         .observe(
-            "minhash_lsh_blocking",
-            F.sum((F.col("bsz") > MINHASH_BUCKET_CAP).cast("long")).alias(
-                "salted_buckets"
-            ),
+            metric_name,
+            F.sum((F.col("bsz") > cap).cast("long")).alias(count_alias),
             F.max("bsz").alias("max_bucket"),
         )
     )
-    mem = bands.join(sizes, ["band_id", "bucket"])
+    mem = rel.join(sizes, key_cols)
 
     # narrow path: one collect_list per bucket, higher-order expansion
     ids = F.sort_array(F.collect_list("doc_id"))
@@ -297,39 +303,36 @@ def lsh_bucket_pairs(bands: DataFrame) -> DataFrame:
         )
     )
     narrow = (
-        mem.where(F.col("bsz").between(2, MINHASH_BUCKET_CAP))
-        .groupBy("band_id", "bucket")
+        mem.where(F.col("bsz").between(2, cap))
+        .groupBy(*key_cols)
         .agg(ids.alias("ids"))
         .select(F.explode(narrow_pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
     )
 
     # salted path: group cells (i, j) with i ≤ j as join keys
-    over = mem.where(F.col("bsz") > MINHASH_BUCKET_CAP).select(
-        "band_id",
-        "bucket",
+    over = mem.where(F.col("bsz") > cap).select(
+        *key_cols,
         "doc_id",
-        F.ceil(F.col("bsz") / MINHASH_BUCKET_CAP).cast("int").alias("g"),
+        F.ceil(F.col("bsz") / cap).cast("int").alias("g"),
     )
     over = over.withColumn(
         "u", F.pmod(F.hash("doc_id"), F.col("g")).cast("int")
     )
     left = over.select(
-        "band_id",
-        "bucket",
+        *key_cols,
         F.col("doc_id").alias("doc_l"),
         F.col("u").alias("ci"),
         F.explode(F.sequence(F.col("u"), F.col("g") - 1)).alias("cj"),
     )
     right = over.select(
-        "band_id",
-        "bucket",
+        *key_cols,
         F.col("doc_id").alias("doc_r"),
         F.explode(F.sequence(F.lit(0), F.col("u"))).alias("ci"),
         F.col("u").alias("cj"),
     )
     salted = (
-        left.join(right, ["band_id", "bucket", "ci", "cj"])
+        left.join(right, [*key_cols, "ci", "cj"])
         .where((F.col("ci") < F.col("cj")) | (F.col("doc_l") < F.col("doc_r")))
         .select(
             F.least("doc_l", "doc_r").alias("doc_a"),
@@ -337,6 +340,15 @@ def lsh_bucket_pairs(bands: DataFrame) -> DataFrame:
         )
     )
     return narrow.unionByName(salted)
+
+
+def lsh_bucket_pairs(bands: DataFrame) -> DataFrame:
+    """MinHash-LSH instantiation of :func:`salted_bucket_pairs` over
+    (band_id, bucket) buckets — kept as a named entry point because
+    tests and the scale-stress lane drive it directly."""
+    return salted_bucket_pairs(
+        bands, ["band_id", "bucket"], MINHASH_BUCKET_CAP, "minhash_lsh_blocking"
+    )
 
 
 @query(
@@ -434,17 +446,18 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_MIN = 0.01
 
-# Frequency cap on shingle posting lists: a shingle shared by p docs
+# Width threshold on shingle posting lists: a shingle shared by p docs
 # contributes p²/2 candidate pairs, so one boilerplate 4-gram ("all
 # rights reserved here") with a million-doc posting list would emit
 # 5·10¹¹ pairs from a single index row — THE quadratic failure mode of
-# inverted-index blocking at 100 TB. Lists longer than the cap are
-# excluded from pair generation (standard stop-shingle semantics: a
-# shingle that common carries ~zero dedup signal) and the count of
-# capped lists is surfaced via an ``observe`` metric — never silently.
-# 512 is ~100× sf0.1's max list (5), so the oracle — which keeps the
-# uncapped self-join spec — is unaffected at every test SF; it also
-# bounds the per-bucket pair array to 512²/2 structs (~2 MB).
+# inverted-index blocking at 100 TB. Lists longer than the cap switch
+# from the collect_list narrow path to the salt-split quadratic path
+# (salted_bucket_pairs) so the result stays EXACT — the irreducible
+# pair space is spread over g(g+1)/2 shuffle keys instead of one hot
+# task — and the count of over-cap lists is surfaced via an
+# ``observe`` metric, never silently. 512 also bounds the narrow
+# path's per-bucket pair array to 512²/2 structs (~2 MB), under the
+# 2^31 array ceiling.
 NGRAM_POSTING_CAP = 512
 
 
@@ -487,11 +500,14 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-stream self-join would evaluate it per join side. The
     self-join formulation remains in the oracle as the semantic spec.
 
-    Posting lists longer than NGRAM_POSTING_CAP are dropped from pair
-    generation (see the constant's comment — this bounds the Σ list²
-    term that otherwise explodes on boilerplate shingles at scale);
-    the number of capped lists rides along as the observed metric
-    ``capped_posting_lists`` on the result, at zero extra jobs."""
+    Posting lists longer than NGRAM_POSTING_CAP take the SALT-SPLIT
+    quadratic path of :func:`salted_bucket_pairs` instead of being
+    dropped (round-8 ADVICE: the old exclusion made the ensemble vote
+    diverge from its uncapped oracle on boilerplate-dense corpora) —
+    so n_common is EXACT at any posting density while the Σ list²
+    work stays spread over g(g+1)/2 shuffle keys per hot shingle; the
+    number of over-cap lists rides along as the observed metric
+    ``salted_posting_lists``, at zero extra jobs."""
     d = load_table(spark, sf_dir, "documents", widen=True)
     sh = d.where(F.size(tokens_col()) >= 4).select(
         "doc_id",
@@ -501,27 +517,15 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ids = F.sort_array(F.collect_list("doc_id"))
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    buckets = sh.groupBy("lang", "h").agg(ids.alias("ids"))
     inter = (
-        buckets.observe(
+        salted_bucket_pairs(
+            sh,
+            ["lang", "h"],
+            NGRAM_POSTING_CAP,
             "ngram_jaccard_blocking",
-            F.sum((F.size("ids") > NGRAM_POSTING_CAP).cast("long")).alias(
-                "capped_posting_lists"
-            ),
+            "salted_posting_lists",
         )
-        .where(F.size("ids").between(2, NGRAM_POSTING_CAP))
-        .select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     s1 = sizes.alias("s1")
@@ -756,7 +760,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         "survivor_doc",
         "survivor_chars",
-        dropped.alias("dropped_docs"),
+        # nullif: a singleton cluster has no dropped members; the
+        # oracle's string_agg over an all-NULL group yields NULL, and
+        # array_join over [] yields '' — align on NULL (round-8
+        # ADVICE: unreachable today, every LSH-clustered node has an
+        # edge, but a future singleton-producing change must not
+        # break parity silently).
+        F.nullif(dropped, F.lit("")).alias("dropped_docs"),
     )
 
 

@@ -715,28 +715,54 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     topic probe; keep/weight the top slice). Robertson idf
     (ln((N-df+0.5)/(df+0.5)+1), never negative), k1=1.2, b=0.75.
 
-    Scale shape: document length and term frequency are the same two
-    map-side-partial aggregates TF-IDF uses; df and the (avgdl, N)
-    scalars broadcast. Per-term contributions round to 9 places and
-    sum in DECIMAL(28,9) — the same cross-engine float discipline as
-    bigram_lm_score."""
-    from pyspark.sql import Window  # noqa: F401  (module convention)
-
+    Scale shape: document length AND the query-term frequencies come
+    out of ONE map-side-partial aggregate over a single scan+explode
+    of ``documents`` (round-7 verdict: the old plan derived the token
+    stream twice — once for dl, once for tf — and bm25_score was the
+    round's only band breach); the per-doc relation (n_docs rows,
+    2+|terms| columns) is localCheckpointed so the avgdl/N scalar
+    branch and the scoring branch reuse it instead of re-scanning.
+    df and the (avgdl, N) scalars broadcast; the dl join is gone —
+    dl rides along inside the per-doc row. Per-term contributions
+    round to 9 places and sum in DECIMAL(28,9) — the same
+    cross-engine float discipline as bigram_lm_score."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens_col()).alias("term"))
-    dl = toks.groupBy(F.col("doc_id").alias("dl_doc")).agg(
-        F.count("*").alias("dl")
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+                for i, t in enumerate(BM25_TERMS)
+            ],
+        )
+        .localCheckpoint()
     )
     stats = F.broadcast(
-        dl.agg(
+        per_doc.agg(
             (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
             F.count("*").alias("n_docs"),
         )
     )
     tf = (
-        toks.where(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        per_doc.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"tf_{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(BM25_TERMS)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "dl", F.col("x.term").alias("term"), F.col("x.tf").alias("tf"))
+        .where(F.col("tf") > 0)
     )
     df_ = F.broadcast(
         tf.groupBy(F.col("term").alias("df_term")).agg(F.count("*").alias("df"))
@@ -752,7 +778,6 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(df_, F.col("df_term") == F.col("term"))
-        .join(dl, F.col("dl_doc") == F.col("doc_id"))
         .crossJoin(stats)
         .select("doc_id", c.alias("c"))
         .groupBy("doc_id")

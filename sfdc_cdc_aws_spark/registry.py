@@ -67,6 +67,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.operators.chunking",
         "sfdc_cdc_aws_spark.operators.curation",
         "sfdc_cdc_aws_spark.operators.maintenance",
+        "sfdc_cdc_aws_spark.operators.stats",
         "sfdc_cdc_aws_spark.operators.training",
         "sfdc_cdc_aws_spark.operators.multimodal",
         "sfdc_cdc_aws_spark.streaming.job",

@@ -492,15 +492,24 @@ try:  # the Python DataSource API needs pyspark >= 4
             self._client: BayeuxConnector | None = None
             self._client_pos: int | None = None  # offset the client sits at
             self._buffer: list[tuple] = []
+            self.dropped_no_replay = 0  # non-replayable events skipped
 
         # -- client management ------------------------------------------
 
         def _consumer(self, data: dict) -> None:
             rid = (data.get("event") or {}).get("replayId")
             if rid is None:
-                # An event with no replayId cannot be offset-tracked;
-                # skip it rather than killing the micro-batch (the batch
-                # client's poll_once applies the same guard).
+                # An event with no replayId is non-replayable on the
+                # bus AND invisible to readBetweenOffsets' (lo, hi]
+                # range filter, so delivering it would break the
+                # deterministic-replay contract — drop it, but count
+                # it (never silently). NOTE this is deliberately
+                # STRICTER than the batch client, whose poll_once
+                # delivers such events and only skips offset
+                # recording: the batch path has no replay contract to
+                # protect (round-8 ADVICE fixed the comment that
+                # claimed the two paths matched).
+                self.dropped_no_replay += 1
                 return
             rid = int(rid)
             pk = (

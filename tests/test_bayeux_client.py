@@ -477,8 +477,13 @@ def test_stream_reader_skips_events_without_replay_id():
     r._consumer({"payload": {"x": 1}})  # no event envelope at all
     r._consumer({"payload": {"x": 2}, "event": {}})  # envelope, no replayId
     assert r._buffer == []
+    # round-8 ADVICE: the drops are counted, never silent — and this
+    # is deliberately stricter than the batch client, whose poll_once
+    # DELIVERS such events (no replay contract to protect there)
+    assert r.dropped_no_replay == 2
     r._consumer(_event(5))
     assert [t[0] for t in r._buffer] == [5]
+    assert r.dropped_no_replay == 2
 
 
 def test_multi_topic_independent_replay_resume_across_failover():

@@ -1,10 +1,12 @@
 """Scale-safety of the inverted-index blocking in ngram_jaccard_dedup.
 
 Driver testdata has no pathological shingles (max posting list = 5 at
-sf0.1), so the frequency cap never fires there and oracle parity
-proves the uncapped semantics. This fixture IS pathological: one
+sf0.1), so the salt-split path never fires there and oracle parity
+proves only the narrow path. This fixture IS pathological: one
 boilerplate 4-gram shared by more docs than NGRAM_POSTING_CAP, which
-uncapped would emit ~n²/2 candidate pairs from a single index row.
+must take the salted quadratic path (round-8 ADVICE: the old
+exclusion semantics made the ensemble vote diverge from its uncapped
+oracle) and still reproduce the uncapped oracle's pair set exactly.
 """
 
 from __future__ import annotations
@@ -39,18 +41,44 @@ def _write_documents(path):
     pq.write_table(tbl, str(path / "documents.parquet"))
 
 
-def test_posting_cap_bounds_pair_explosion(spark, tmp_path):
+def test_overcap_posting_lists_salt_split_match_uncapped_oracle(spark, tmp_path):
+    """An over-cap boilerplate posting list takes the salted
+    quadratic path and produces EXACTLY the uncapped oracle's pairs
+    (each hot pair shares one shingle out of 5+5 distinct, jaccard
+    1/9 ≥ JACCARD_MIN, so the full C(n,2) family is genuine output),
+    with the over-cap list observed, never silent."""
+    import os
+
+    from sfdc_cdc_aws_spark.registry import load_all
+    from sfdc_cdc_aws_spark.sources.tables import TABLES, table_path
+    from tests.oracle import compare
+    from tools.scale_stress import observed_metrics
+
     _write_documents(tmp_path)
-    got = ngram_jaccard_dedup(spark, str(tmp_path)).collect()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(table_path(SF, t), table_path(str(tmp_path), t))
+
+    df = ngram_jaccard_dedup(spark, str(tmp_path))
+    compare(df, load_all()["ngram_jaccard_dedup"].oracle, str(tmp_path))
+
+    obs = {
+        name: val
+        for metrics in observed_metrics(df).values()
+        for name, val in metrics.items()
+    }
+    assert obs.get("salted_posting_lists", 0) >= 1, obs
+    assert obs.get("max_bucket", 0) == N_HOT, obs
+
+    got = df.collect()
     pairs = {(r["doc_a"], r["doc_b"]) for r in got}
     # the rare-shingle near-dup pair survives (jaccard = 1.0)
     assert (10_000, 10_001) in pairs
-    # the boilerplate shingle's ~N_HOT²/2 pairs are capped away: every
-    # hot pair shares ONLY the capped shingle, so none may appear
+    # the boilerplate family's full C(n,2) pair space is produced
     hot_pairs = [p for p in pairs if p[0] < N_HOT and p[1] < N_HOT]
-    assert hot_pairs == [], f"cap failed: {len(hot_pairs)} boilerplate pairs leaked"
-    # total candidate work is the rare bucket only — bounded, not n²
-    assert len(got) == 1
+    assert len(hot_pairs) == N_HOT * (N_HOT - 1) // 2
+    assert all(r["n_common"] == 1 for r in got if r["doc_a"] < N_HOT)
+    assert len(got) == len(hot_pairs) + 1
 
 
 def test_dedup_clusters_reliable_checkpoint(spark, tmp_path, monkeypatch):

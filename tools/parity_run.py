@@ -85,7 +85,10 @@ def main() -> int:
     with open(os.path.join(REPO, out_path), "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(f"wrote {out_path}: {n_ok}/{len(report)} ok")
-    return 1 if n_fail else 0
+    # Exit red if ANY merged row is failing — with --keys the re-run
+    # subset may be green while stale FAIL rows persist in the
+    # artifact, and a green exit over a red artifact is a lie.
+    return 0 if n_ok == len(report) else 1
 
 
 if __name__ == "__main__":
