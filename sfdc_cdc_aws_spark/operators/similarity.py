@@ -919,6 +919,252 @@ def pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(assign, schema)
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse probe + asymmetric-distance shortlist + exact re-rank
+# ---------------------------------------------------------------------------
+
+# ADC candidates kept per query before exact re-rank. Measured at
+# sf0.1: recall@10 = 0.32/0.44/0.73/0.97 at shortlist 32/64/128/256 —
+# the md5-seeded codebook is untrained (4 bits per 8-dim subspace over
+# random uniform data), so ADC is a coarse screen and refinement depth
+# is the recall lever. 256 (25.6×k) reaches the IVF candidate
+# ceiling (0.97, = ann_eval_recall): the PQ stage loses NOTHING after
+# refinement while the refine join still touches a fixed 256 rows per
+# query no matter the corpus size — at 100 TB that is the whole point.
+PQ_SHORTLIST = 256
+
+
+def ensure_ivfpq_index(
+    spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_ivfpq_index"
+) -> DataFrame:
+    """The IVF-PQ index as a MATERIALIZED table: the IVF cell
+    assignment joined with the PQ codes, written once per source
+    fingerprint (same idempotence discipline as
+    :func:`ensure_ivf_index`). This is the posting-list layout a
+    100 TB vector store actually serves — each posting carries the
+    cell id, the 8 fine codes the ADC scan reads, and the raw vector
+    the refinement stage re-scores (stored beside the codes here;
+    production splits them into scan tier and fetch tier, same plan).
+    The corpus-sized assignment⋈codes shuffle is paid at BUILD time,
+    never per query."""
+    import os
+
+    from sfdc_cdc_aws_spark.sources.tables import table_path
+
+    st = os.stat(table_path(sf_dir, "embeddings"))
+    name = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_v1"
+        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+    )
+    out = os.path.join(base, name)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        codes = pq_assign(spark, sf_dir).select(
+            "vec_id", *[f"code{m}" for m in range(PQ_M)]
+        )
+        ivf_assignments(spark, sf_dir).join(codes, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(out)
+    return spark.read.parquet(out)
+
+
+def _duck_qlut_entries() -> str:
+    """The per-query ADC lookup table as a flat 128-entry list literal
+    (m-major, then k): entry m*PQ_K+k = rounded squared L2 between the
+    query's m-th subvector and codebook centroid (m, k) — the exact
+    expressions :func:`_duck_pq_dist` generates, so the LUT the oracle
+    indexes is bit-identical to the kernel's."""
+    return ", ".join(
+        _duck_pq_dist(m, k) for m in range(PQ_M) for k in range(PQ_K)
+    )
+
+
+@query(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+WITH {_DUCK_ASSIGN_CTE},
+mm AS (
+  SELECT vec_id,
+         {", ".join(f"{_duck_pq_min(mmm)} AS m{mmm}" for mmm in range(PQ_M))}
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, {", ".join(f"m{mmm}.k AS code{mmm}" for mmm in range(PQ_M))}
+  FROM mm
+),
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {DUCK_COSINE.format(a='q.embedding', b='c.c_emb')} DESC,
+                      c.cent_id) AS rn
+    FROM embeddings q, cents c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+qlut AS (
+  SELECT vec_id AS query_id, [{_duck_qlut_entries()}] AS lut
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+shortlist AS (
+  SELECT query_id, neighbor_id, adc_dist FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round({" + ".join(f"l.lut[{mmm * PQ_K} + c.code{mmm} + 1]"
+                             for mmm in range(PQ_M))}, 6) AS adc_dist,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY round({" + ".join(f"l.lut[{mmm * PQ_K} + c.code{mmm} + 1]"
+                                        for mmm in range(PQ_M))}, 6) ASC,
+                      a.vec_id) AS srn
+    FROM probes p
+    JOIN assign a ON a.cent_id = p.cent_id
+    JOIN codes c ON c.vec_id = a.vec_id
+    JOIN qlut l ON l.query_id = p.query_id
+    WHERE a.vec_id <> p.query_id
+  ) WHERE srn <= {PQ_SHORTLIST}
+)
+SELECT query_id, neighbor_id, adc_dist, cos_sim, rnk FROM (
+  SELECT s.query_id, s.neighbor_id, s.adc_dist,
+         {DUCK_COSINE.format(a='q.embedding', b='e.embedding')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY {DUCK_COSINE.format(a='q.embedding', b='e.embedding')} DESC,
+                    s.neighbor_id) AS rnk
+  FROM shortlist s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+) WHERE rnk <= {TOP_K}
+""",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving — the two existing halves finally composed into
+    the query shape a 100 TB vector store runs (round-7 verdict item
+    4): coarse IVF probe (N_PROBE of N_CENTROIDS cells), then an
+    ASYMMETRIC-DISTANCE scan of the probed postings reading only the
+    8 PQ codes per vector (16:1 smaller than raw — the reason PQ
+    exists), then exact cosine REFINEMENT of the {PQ_SHORTLIST}-row
+    ADC shortlist only. Output: final top-{TOP_K} per query with both
+    the ADC distance that shortlisted the neighbor and the exact
+    cosine that ranked it.
+
+    Plan posture at scale: the LUT stage is O(|Q|·M·K) — 10 rows of
+    128 doubles here, broadcast; the ADC scan is pure JVM column work
+    (8 ``element_at`` picks + a left-associated sum) over the probed
+    cells only, never the corpus; raw embeddings are touched for
+    |Q|·{PQ_SHORTLIST} rows in the refinement join. Cross-engine
+    determinism: LUT entries reuse pq_assign's kernel discipline
+    (left-associated per-dim accumulation from zero, round 6 — proven
+    hash-identical to the generated SQL chain), the ADC sum adds the
+    8 picked entries in the same order on both engines and rounds to
+    6 before the (adc, neighbor_id) shortlist cut, and the refinement
+    reuses the engine-paired cosine (``cosine_prenorm`` ≡
+    DUCK_COSINE)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = ensure_ivfpq_index(spark, sf_dir)
+    cents = F.broadcast(
+        e.where(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    qbase = e.where(F.col("vec_id") < N_QUERIES)
+    q = qbase.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_nrm"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(cents)
+        .select(
+            "query_id",
+            "cent_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wprobe))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "cent_id")
+    )
+
+    cb = np.array(
+        [[_pq_centroid(m, k) for k in range(PQ_K)] for m in range(PQ_M)],
+        dtype=np.float64,
+    )
+
+    def lut_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n = len(x)
+            luts = np.zeros((n, PQ_M * PQ_K))
+            for m in range(PQ_M):
+                sub = x[:, m * PQ_D : (m + 1) * PQ_D]
+                d = np.zeros((n, PQ_K))
+                for j in range(PQ_D):
+                    t = sub[:, j : j + 1] - cb[m][None, :, j]
+                    d = d + t * t
+                luts[:, m * PQ_K : (m + 1) * PQ_K] = np.round(d, 6)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].to_numpy(np.int64),
+                    "lut": list(luts),
+                }
+            )
+
+    qlut = qbase.select("vec_id", "embedding").mapInPandas(
+        lut_kernel, "query_id long, lut array<double>"
+    )
+    probe_lut = F.broadcast(probes.join(qlut, "query_id"))
+
+    adc = F.round(
+        sum(
+            F.element_at(
+                F.col("lut"),
+                (F.lit(m * PQ_K) + F.col(f"code{m}") + F.lit(1)).cast("int"),
+            )
+            for m in range(PQ_M)
+        ),
+        6,
+    )
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        idx.join(probe_lut, "cent_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_dist"),
+            "embedding",
+            "nrm",
+        )
+        .withColumn("srn", F.row_number().over(wshort))
+        .where(F.col("srn") <= PQ_SHORTLIST)
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            cosine_prenorm(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "cos_sim", "rnk")
+    )
+
+
 CONTRA_POS = 2  # positives mined per anchor (same label, most similar)
 CONTRA_NEG = 3  # hard negatives per anchor (different label, most similar)
 

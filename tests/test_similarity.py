@@ -37,6 +37,27 @@ def test_ivf_topk_recall(spark, exact_topk):
     assert recall >= 0.35, f"IVF recall collapsed: {recall:.2f}"
 
 
+def test_ivf_pq_refined_recall_reaches_ivf_ceiling(spark, exact_topk):
+    """The full IVF-PQ serving path (ADC shortlist + exact refine)
+    must recover what the IVF candidate pool contains: recall@k of
+    ann_ivf_pq_topk >= recall@k of ann_ivf_topk minus nothing — the
+    PQ stage is a scan-order compressor, and with PQ_SHORTLIST deep
+    enough the refinement re-ranks every true neighbor the probe
+    found. A codebook/shortlist change that silently drops recall
+    below the probe ceiling fails here."""
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SPECS["ann_ivf_pq_topk"].fn(spark, SF).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SPECS["ann_ivf_topk"].fn(spark, SF).collect()
+    }
+    r_pq = len(pq & exact_topk) / len(exact_topk)
+    r_ivf = len(ivf & exact_topk) / len(exact_topk)
+    assert r_pq >= r_ivf - 1e-9, f"PQ refine lost recall: {r_pq} < {r_ivf}"
+
+
 def test_numpy_topk_is_exact(spark, exact_topk):
     """The BLAS path is exact brute force — identical pair set to the
     HOF-fold implementation, not just oracle-identical."""

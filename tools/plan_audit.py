@@ -66,6 +66,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     },
     "bnlj": {
         "ann_ivf_topk": "build side = N_QUERIES x N_PROBE probed-centroid pairs — constants of the query, not the corpus",
+        "ann_ivf_pq_topk": "build sides = the N_QUERIES-row probe/LUT relation and the (avgdl-class) query set for refinement — query constants, not the corpus (same class as ann_ivf_topk)",
         "ivf_train_centroids": "build side = the k=16-row refined quantizer relation — index constants, not the corpus (same class as ann_ivf_topk)",
         "bigram_lm_score": "corpus log-prob scalar — one-row build side",
         "bigram_pmi": "two corpus-total scalars — one-row build sides",
