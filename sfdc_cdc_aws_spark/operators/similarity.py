@@ -26,7 +26,8 @@ from sfdc_cdc_aws_spark.functions.vector import (
     cosine_prenorm,
     norm,
 )
-from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.operators.text import BM25_ORACLE
+from sfdc_cdc_aws_spark.registry import QUERIES, query
 from sfdc_cdc_aws_spark.sources import load_table
 
 N_QUERIES = 10  # bounded query set for brute force
@@ -1315,4 +1316,206 @@ def semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("pivot_id"))
         .select("cent_id", "vec_id", "pivot_id", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= PRUNE_COS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ranking quality: NDCG of the served IVF-PQ path vs exact truth
+# ---------------------------------------------------------------------------
+
+def _ndcg_discounts() -> tuple[list[str], str]:
+    """DCG rank discounts 1/log2(r+1) for r=1..TOP_K, pre-evaluated in
+    Python and emitted as 9-decimal DECIMAL literals, plus their exact
+    decimal sum (the ideal DCG). Injecting literals removes every
+    transcendental from BOTH engines — log2 can differ by an ulp
+    between libm implementations, and a boundary ulp would flip a
+    round-9; a shared literal cannot."""
+    import math
+    from decimal import Decimal
+
+    terms = [f"{1.0 / math.log2(r + 1):.9f}" for r in range(1, TOP_K + 1)]
+    idcg = str(sum(Decimal(t) for t in terms))
+    return terms, idcg
+
+
+_NDCG_TERMS, _NDCG_IDCG = _ndcg_discounts()
+
+
+@query(
+    "ann_eval_ndcg",
+    oracle=f"""
+WITH approx AS ({QUERIES['ann_ivf_pq_topk'].oracle}),
+truth AS ({QUERIES['topk_cosine_sim'].oracle}),
+j AS (
+  SELECT a.query_id, a.rnk,
+         CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM approx a
+  LEFT JOIN truth t
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+)
+SELECT query_id,
+       CAST(sum(rel) AS BIGINT) AS n_rel,
+       round(CAST(sum(CASE WHEN rel = 1
+                  THEN [{", ".join(f"CAST({t} AS DECIMAL(28,9))" for t in _NDCG_TERMS)}][rnk]
+                  ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+             / CAST({_NDCG_IDCG} AS DOUBLE), 6) AS ndcg_at_k
+FROM j GROUP BY query_id
+""",
+)
+def ann_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the full IVF-PQ serving path against exact
+    brute-force truth — recall (ann_eval_recall) says how many true
+    neighbors survive; NDCG says whether they surface in the right
+    ORDER, which is what a retrieval consumer experiences. Binary
+    relevance (approx neighbor ∈ exact top-k), standard log2 rank
+    discount; ideal DCG is the constant Σ 1/log2(r+1) over r=1..k
+    (every query has a full exact top-k — the corpus is orders of
+    magnitude larger than k).
+
+    Determinism: the 10 rank discounts are Python-evaluated 9-decimal
+    literals shared by both engines (no libm log2 in either plan),
+    accumulated in DECIMAL(28,9) so the per-query sum is exact and
+    order-independent; only the final ndcg ratio is a double, rounded
+    to 6. Plan: two already-audited top-k pipelines, one broadcast-
+    sized left join, one map-side-combinable aggregate."""
+    approx = ann_ivf_pq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+    truth = topk_cosine_sim(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("rel_flag")
+    )
+    disc = F.array(
+        *[F.expr(f"CAST({t} AS DECIMAL(28,9))") for t in _NDCG_TERMS]
+    )
+    j = approx.join(truth, ["query_id", "neighbor_id"], "left")
+    rel = F.col("rel_flag").isNotNull()
+    term = F.when(rel, F.element_at(disc, F.col("rnk").cast("int"))).otherwise(
+        F.expr("CAST(0 AS DECIMAL(28,9))")
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.sum(rel.cast("int")).cast("bigint").alias("n_rel"),
+            F.sum(term).alias("dcg"),
+        )
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(
+                F.col("dcg").cast("double")
+                / F.expr(f"CAST({_NDCG_IDCG} AS DOUBLE)"),
+                6,
+            ).alias("ndcg_at_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 (sparse) + dense cosine, reciprocal-rank fused
+# ---------------------------------------------------------------------------
+
+RRF_K = 60        # the standard RRF smoothing constant
+FUSE_POOL = 100   # per-leg candidate pool before fusion
+FUSE_TOP = 20     # fused results returned
+QUERY_VEC = 0     # the dense probe vector (vec_id)
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+WITH bm AS ({BM25_ORACLE}),
+sp AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_sparse
+  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT {FUSE_POOL})
+),
+probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {QUERY_VEC}),
+dn0 AS (
+  SELECT e.vec_id AS doc_id,
+         {DUCK_COSINE.format(a='e.embedding', b='probe.p')} AS cos
+  FROM embeddings e, probe WHERE e.vec_id <> {QUERY_VEC}
+),
+dn AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_dense
+  FROM (SELECT * FROM dn0 ORDER BY cos DESC, doc_id LIMIT {FUSE_POOL})
+),
+f AS (
+  SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+         sp.rank_sparse, dn.rank_dense,
+         round(coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + sp.rank_sparse), 0)
+               + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + dn.rank_dense), 0),
+               6) AS rrf_score
+  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id
+)
+SELECT doc_id, rank_sparse, rank_dense, rrf_score, fused_rank FROM (
+  SELECT f.*, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+  FROM f
+) WHERE fused_rank <= {FUSE_TOP}
+""",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the production search stack in one plan:
+    a SPARSE leg (BM25 over the inverted text index) and a DENSE leg
+    (cosine against a probe embedding) each produce a top-{FUSE_POOL}
+    candidate pool, fused by Reciprocal Rank Fusion
+    (rrf = Σ 1/({RRF_K}+rank), Cormack et al. — rank-based, so the
+    two legs' incomparable score scales never need calibration).
+    Complements bm25_score (sparse only) and ann_ivf_pq_topk (dense
+    only): real retrieval serves BOTH and fuses.
+
+    Scale shape: each leg ends in ORDER BY+LIMIT — Spark plans
+    TakeOrderedAndProject, a map-side partial top-K with no global
+    sort or shuffle of the corpus; ranking row_numbers then run over
+    the {FUSE_POOL}-row pools (bounded, not data-scaled), and the
+    fusion join touches ≤2·{FUSE_POOL} rows. The dense leg broadcasts
+    the 1-row probe. Determinism: BM25 and cosine are the engine's
+    existing rounded-6 scores with doc_id tie-breaks; RRF terms are
+    1/(int+int) doubles added in fixed leg order and rounded to 6."""
+    from sfdc_cdc_aws_spark.operators.text import bm25_score
+
+    sp_pool = (
+        bm25_score(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(FUSE_POOL)
+    )
+    wsp = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    sp = sp_pool.select(
+        "doc_id", F.row_number().over(wsp).alias("rank_sparse")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        e.where(F.col("vec_id") == QUERY_VEC).select(
+            F.col("embedding").alias("p")
+        )
+    )
+    dn_pool = (
+        e.where(F.col("vec_id") != QUERY_VEC)
+        .crossJoin(probe)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("p")).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(FUSE_POOL)
+    )
+    wdn = Window.orderBy(F.col("cos").desc(), F.col("doc_id"))
+    dn = dn_pool.select(
+        "doc_id", F.row_number().over(wdn).alias("rank_dense")
+    )
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_sparse")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_dense")), F.lit(0.0)
+        ),
+        6,
+    )
+    fused = sp.join(dn, "doc_id", "full_outer").select(
+        "doc_id", "rank_sparse", "rank_dense", rrf.alias("rrf_score")
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= FUSE_TOP)
+        .select("doc_id", "rank_sparse", "rank_dense", "rrf_score", "fused_rank")
     )

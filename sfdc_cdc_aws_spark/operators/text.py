@@ -675,9 +675,10 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-@query(
-    "bm25_score",
-    oracle=f"""
+# exported: hybrid_search_rrf (similarity.py) embeds this whole query
+# as a nested-WITH CTE, so the sparse leg of the fusion oracle is THE
+# bm25 oracle, never a drifting copy
+BM25_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
 ),
@@ -707,8 +708,10 @@ contrib AS (
 SELECT doc_id, count(*) AS n_hits,
        round(CAST(sum(c) AS DOUBLE), 6) AS bm25
 FROM contrib GROUP BY doc_id
-""",
-)
+"""
+
+
+@query("bm25_score", oracle=BM25_ORACLE)
 def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document to a fixed query-term set —
     the retrieval-based curation scorer (rank corpus docs against a

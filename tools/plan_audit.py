@@ -63,10 +63,13 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "mixture_reweight": "share window over one row per source",
         "rfm_segmentation": "three ntile windows over the per-USER aggregate — the documented cardinality cliff (users << purchase events)",
         "tpch_q15_top_supplier": "max over the per-supplier revenue view — |suppliers| rows after aggregation (the TPC-H view-then-max shape)",
+        "hybrid_search_rrf": "rank row_numbers over the per-leg fusion pools — each leg is TakeOrderedAndProject-cut to FUSE_POOL=100 rows BEFORE the window, so the single partition holds <=100 rows at any corpus size",
     },
     "bnlj": {
         "ann_ivf_topk": "build side = N_QUERIES x N_PROBE probed-centroid pairs — constants of the query, not the corpus",
         "ann_ivf_pq_topk": "build sides = the N_QUERIES-row probe/LUT relation and the (avgdl-class) query set for refinement — query constants, not the corpus (same class as ann_ivf_topk)",
+        "ann_eval_ndcg": "contains the audited ann_ivf_pq_topk + topk_cosine_sim subplans — their query-constant build sides, nothing new",
+        "hybrid_search_rrf": "dense-leg probe = ONE embedding row; bm25 corpus scalar — one-row build sides",
         "ivf_train_centroids": "build side = the k=16-row refined quantizer relation — index constants, not the corpus (same class as ann_ivf_topk)",
         "bigram_lm_score": "corpus log-prob scalar — one-row build side",
         "bigram_pmi": "two corpus-total scalars — one-row build sides",
