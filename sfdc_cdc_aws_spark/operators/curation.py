@@ -26,6 +26,7 @@ from sfdc_cdc_aws_spark.operators.text import (
     tokens_col,
 )
 from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.session import truncate_lineage
 from sfdc_cdc_aws_spark.sources import load_table
 
 # Gopher-style gates, adapted to the synthetic corpus's ranges
@@ -604,8 +605,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("sym"),
         )
-        .localCheckpoint()
     )
+    words = truncate_lineage(words)
     merges = []
     for k in range(1, N_TRAIN_MERGES + 1):
         syms = words.select(
@@ -629,7 +630,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_sym = F.replace(
                 new_sym, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
             )
-        words = words.select("freq", new_sym.alias("sym")).localCheckpoint()
+        words = truncate_lineage(words.select("freq", new_sym.alias("sym")))
     return spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string, merged string, cnt bigint",

@@ -159,7 +159,7 @@ def minhash_signatures(
     st = os.stat(table_path(sf_dir, "documents"))
     name = (
         f"{os.path.basename(sf_dir.rstrip('/'))}_v1"
-        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
     )
     out = os.path.join(base, name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -625,20 +625,13 @@ def _connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
 
 
 def _truncate_lineage(df: DataFrame) -> DataFrame:
-    """Cut the iterative loop's growing lineage. Default is
-    ``localCheckpoint`` (executor-memory blocks — fast, but lost with
-    an executor, acceptable on local[*]); set
-    ``SPARK_GRAFT_CHECKPOINT_DIR`` to switch to a *reliable*
-    ``checkpoint`` so a 1000-executor run survives executor loss
-    mid-iteration — the knob flagged open since round 1."""
-    import os
+    """Cut the iterative loop's growing lineage — delegates to the
+    shared ``SPARK_GRAFT_CHECKPOINT_DIR``-aware helper
+    (session.truncate_lineage) so every lineage-truncation site in
+    the engine honors the same reliable-checkpoint escape hatch."""
+    from sfdc_cdc_aws_spark.session import truncate_lineage
 
-    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
-    if ckpt_dir:
-        sc = df.sparkSession.sparkContext
-        sc.setCheckpointDir(ckpt_dir)
-        return df.checkpoint()
-    return df.localCheckpoint()
+    return truncate_lineage(df)
 
 
 @query(

@@ -28,6 +28,7 @@ from sfdc_cdc_aws_spark.functions.vector import (
 )
 from sfdc_cdc_aws_spark.operators.text import BM25_ORACLE
 from sfdc_cdc_aws_spark.registry import QUERIES, query
+from sfdc_cdc_aws_spark.session import truncate_lineage
 from sfdc_cdc_aws_spark.sources import load_table
 
 N_QUERIES = 10  # bounded query set for brute force
@@ -133,7 +134,7 @@ def ensure_ivf_index(
     st = os.stat(table_path(sf_dir, "embeddings"))
     name = (
         f"{os.path.basename(sf_dir.rstrip('/'))}_v1"
-        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
     )
     out = os.path.join(base, name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -332,15 +333,11 @@ def ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar count and the intersection join without re-executing, then
     three scalar aggregates crossJoined into one row — audit cost ≈
     the cost of the pipelines being audited, nothing more."""
-    ivf = (
-        ann_ivf_topk(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint()
+    ivf = truncate_lineage(
+        ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
     )
-    exact = (
-        topk_cosine_sim(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint()
+    exact = truncate_lineage(
+        topk_cosine_sim(spark, sf_dir).select("query_id", "neighbor_id")
     )
     hit = ivf.join(exact, ["query_id", "neighbor_id"])
     recall = F.round(F.col("n_hit") / F.col("n_truth"), 6)
@@ -955,7 +952,7 @@ def ensure_ivfpq_index(
     st = os.stat(table_path(sf_dir, "embeddings"))
     name = (
         f"{os.path.basename(sf_dir.rstrip('/'))}_v1"
-        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
     )
     out = os.path.join(base, name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):

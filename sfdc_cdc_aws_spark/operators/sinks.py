@@ -268,7 +268,7 @@ def _ensure_format_copies(
         base = _format_copies_base()
     st = os.stat(table_path(sf_dir, "events"))
     prefix = f"{os.path.basename(sf_dir.rstrip('/'))}_v1"
-    name = f"{prefix}_{st.st_mtime_ns % 10**9}_{st.st_size}"
+    name = f"{prefix}_{st.st_mtime_ns}_{st.st_size}"
     out = {}
     src = load_table(spark, sf_dir, "events").select(*_FMT_COLS)
     for fmt in ("csv", "orc"):

@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.session import truncate_lineage
 from sfdc_cdc_aws_spark.sources import load_table
 
 # one tokenizer, used everywhere: lowercase, split on non-word runs,
@@ -740,8 +741,8 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i, t in enumerate(BM25_TERMS)
             ],
         )
-        .localCheckpoint()
     )
+    per_doc = truncate_lineage(per_doc)
     stats = F.broadcast(
         per_doc.agg(
             (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),

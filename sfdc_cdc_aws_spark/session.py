@@ -62,3 +62,23 @@ def get_session(app_name: str = "sfdc_cdc_aws_spark", cpus: int | None = None) -
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def truncate_lineage(df):
+    """Cut a growing or multiply-consumed plan's lineage. Default is
+    ``localCheckpoint`` (executor-memory blocks — fast, but lost with
+    an executor; acceptable on local[*]); set
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` to a durable path to switch every
+    caller to a *reliable* ``checkpoint`` so a 1000-executor run
+    survives executor loss mid-job. Shared by the CC loop
+    (operators/dedup.py), the BPE training loop
+    (operators/curation.py), bm25's reused per-doc relation
+    (operators/text.py), and the ANN recall audit
+    (operators/similarity.py) — one escape hatch, not one per module.
+    """
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint()
+    return df.localCheckpoint()

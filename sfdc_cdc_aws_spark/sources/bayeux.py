@@ -45,7 +45,23 @@ import urllib.request
 from typing import Callable
 
 REPLAY_FROM_EARLIEST = -2  # EmpConnector.java:104
-REPLAY_FROM_TIP = -1  # EmpConnector.java:105
+REPLAY_FROM_TIP = -1
+
+
+def _log_dropped_no_replay(topic: str, count: int) -> None:
+    """Operator-visible record of a non-replayable drop (stream
+    reader only — the batch client delivers such events, see
+    _consumer). Warn on the first drop per process and every 100th
+    after, so a lossy feed shows up in driver logs without flooding
+    them; the exact count rides in the client's ``stats``."""
+    if count == 1 or count % 100 == 0:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bayeux stream reader dropped %d event(s) with no replayId "
+            "on %s (non-replayable; excluded from the exactly-once "
+            "contract)", count, topic,
+        )  # EmpConnector.java:105
 
 _AUTH_CODES = ("401", "403")  # AuthFailureListener.java:337-338
 
@@ -105,7 +121,16 @@ class BayeuxConnector:
         self.running = False
         self._reauth = False
         self._msg_id = 0
-        self.stats = {"polls": 0, "events": 0, "reconnects": 0}
+        # dropped_no_replay: events a consumer declined as
+        # non-replayable (the stream reader mirrors its drop counter
+        # here so the loss is visible in the client's observable
+        # stats, not only on the reader instance — round-8 ADVICE).
+        self.stats = {
+            "polls": 0,
+            "events": 0,
+            "reconnects": 0,
+            "dropped_no_replay": 0,
+        }
 
     # -- transport ---------------------------------------------------------
 
@@ -510,6 +535,11 @@ try:  # the Python DataSource API needs pyspark >= 4
                 # protect (round-8 ADVICE fixed the comment that
                 # claimed the two paths matched).
                 self.dropped_no_replay += 1
+                if self._client is not None:
+                    self._client.stats["dropped_no_replay"] = (
+                        self.dropped_no_replay
+                    )
+                _log_dropped_no_replay(self.topic, self.dropped_no_replay)
                 return
             rid = int(rid)
             pk = (

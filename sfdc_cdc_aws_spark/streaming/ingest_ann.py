@@ -69,7 +69,7 @@ def ensure_vec_landing(
     st = os.stat(table_path(sf_dir, "embeddings"))
     name = (
         f"{os.path.basename(sf_dir.rstrip('/'))}_{_LANDING_REV}"
-        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
     )
     out = os.path.join(base, name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):

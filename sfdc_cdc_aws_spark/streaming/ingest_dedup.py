@@ -56,7 +56,7 @@ def ensure_band_index(
     st = os.stat(table_path(sf_dir, "documents"))
     name = (
         f"{os.path.basename(sf_dir.rstrip('/'))}_{_LANDING_REV}"
-        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
     )
     out = os.path.join(base, name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -83,7 +83,7 @@ def ensure_doc_landing(
     st = os.stat(table_path(sf_dir, "documents"))
     name = (
         f"{os.path.basename(sf_dir.rstrip('/'))}_{_LANDING_REV}"
-        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
     )
     out = os.path.join(base, name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):

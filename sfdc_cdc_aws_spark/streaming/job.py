@@ -61,7 +61,7 @@ def ensure_landing(spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_cdc_
     st = os.stat(table_path(sf_dir, "events"))
     name = (
         f"{os.path.basename(sf_dir.rstrip('/'))}_{_FEED_REV}"
-        f"_{st.st_mtime_ns % 10**9}_{st.st_size}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
     )
     out = os.path.join(base, name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):

@@ -486,6 +486,32 @@ def test_stream_reader_skips_events_without_replay_id():
     assert r.dropped_no_replay == 2
 
 
+def test_dropped_no_replay_surfaces_in_client_stats():
+    """Round-8 ADVICE: the drop counter must be visible OUTSIDE the
+    reader instance — mirrored into the live client's ``stats`` dict
+    beside polls/events/reconnects, so operators can see
+    non-replayable loss without reaching into reader internals."""
+    from sfdc_cdc_aws_spark.sources.bayeux import (
+        BayeuxConnector,
+        _BayeuxSimpleStreamReader,
+    )
+
+    r = _BayeuxSimpleStreamReader({"endpoint": "http://unused", "topic": TOPIC})
+    r._buffer = []
+    # every connector advertises the counter from birth
+    c = BayeuxConnector("http://unused", lambda reauth: "")
+    assert c.stats["dropped_no_replay"] == 0
+    r._client = c
+    r._consumer({"payload": {"x": 2}, "event": {}})  # no replayId
+    r._consumer({"payload": {"x": 3}, "event": {}})
+    assert r.dropped_no_replay == 2
+    assert c.stats["dropped_no_replay"] == 2
+    # with no live client (pre-connect) the counter still advances
+    r._client = None
+    r._consumer({"payload": {"x": 4}, "event": {}})
+    assert r.dropped_no_replay == 3
+
+
 def test_multi_topic_independent_replay_resume_across_failover():
     """Two topics with DISJOINT replay sequences: failover mid-drain
     must resume each topic from its OWN last-seen replayId — a client
