@@ -66,6 +66,8 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.operators.text",
         "sfdc_cdc_aws_spark.operators.chunking",
         "sfdc_cdc_aws_spark.operators.curation",
+        "sfdc_cdc_aws_spark.operators.curation2",
+        "sfdc_cdc_aws_spark.operators.linalg",
         "sfdc_cdc_aws_spark.operators.maintenance",
         "sfdc_cdc_aws_spark.operators.stats",
         "sfdc_cdc_aws_spark.operators.training",
@@ -74,6 +76,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.streaming.ingest_dedup",
         "sfdc_cdc_aws_spark.streaming.ingest_ann",
         "sfdc_cdc_aws_spark.streaming.backfill",
+        "sfdc_cdc_aws_spark.streaming.quality_gate",
     ):
         try:
             importlib.import_module(mod)

@@ -52,7 +52,11 @@ EXPLAINED_SUPERLINEAR = {
     "lsh_eval_pr": "runs BOTH pair pipelines (banded LSH + shingle index) "
     "on the ~170× pair space; composition of explained keys",
     "editdist_verify_neardup": "exact Levenshtein on the ~K²-grown LSH "
-    "candidate set; candidate growth is the fixture's, not the plan's",
+    "candidate set; candidate growth is the fixture's, not the plan's. "
+    "Since round 9 the verify stage budgets itself at "
+    "EDIT_VERIFY_BUDGET=20000 hash-ranked candidates (observed, "
+    "oracle-mirrored), so the lane pays ~20k Levenshteins here "
+    "instead of the fixture's 171,911",
     "dup_span_coverage": "span overlap over the K²-grown candidate pair "
     "set; same pair-space class",
     "minhash_estimate_accuracy": "signature agreement audited per LSH "

@@ -75,11 +75,14 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "bigram_pmi": "two corpus-total scalars — one-row build sides",
         "bm25_score": "corpus stats (N, avgdl) scalar — one row",
         "contrastive_pair_mining": "anchor set bounded by the configured query count",
+        "dsir_importance_weights": "corpus feature-total scalars (r_total, t_total) crossed into the 1024-row bucket model — one-row build side",
         "heavy_hitters_sketch": "stream-total scalar for the error bound — one row",
         "join_cardinality_estimate": "join-size total scalar — one row",
         "ann_eval_recall": "three scalar count relations cross-joined into the one-row recall report (same class as lsh_eval_pr)",
         "lsh_eval_pr": "three scalar count relations cross-joined into the one-row report",
+        "nb_token_classifier": "model scalars (vocab size, class token totals, doc priors) — one-row build sides crossed into the broadcast LLR relation and the final score",
         "pagerank_step": "node-count / teleport scalar — one row",
+        "pca_power_iter": "max-|w| normalizer scalar per iteration — one-row build sides (the quantizer itself, same class as bigram_lm_score's corpus scalar)",
         "quantile_bucketize": "build side is ONE row of three percentile boundaries",
         "range_join_bands": "build side is the fixed price-band table — |bands| rows by construction",
         "rfm_segmentation": "recency anchor scalar (max purchase ts) — one row",

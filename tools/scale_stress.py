@@ -36,6 +36,11 @@ KEYS = (
     "ann_eval_recall",
     "ann_ivf_pq_topk",
     "dedup_clusters",
+    # round-9: the verify-stage budget must BIND here (171,911 LSH
+    # candidates vs EDIT_VERIFY_BUDGET=20,000) and still hash-match
+    # the budget-mirroring oracle; n_candidates rides as the
+    # observed metric
+    "editdist_verify_neardup",
     # round-5 CDC/temporal keys over the Kx-derived events feed —
     # recursive_bfs_hops is the one that genuinely broke at 10x
     # before its per-step DISTINCT (RECURSION_ROW_LIMIT_EXCEEDED)
