@@ -116,8 +116,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles by anything wider than (bucket) and (doc_id). At
     100× the only growing structure is the doc-keyed aggregate;
     the model stays {DSIR_BUCKETS} rows by construction. Per-bucket
-    contributions round to 9 places and sum in DECIMAL(28,9) (the
-    bm25_score float discipline)."""
+    contributions round to 9 places and sum in DECIMAL(18,9) (the
+    bm25_score float discipline; 18 digits, not 28, so the
+    occurrence-count product below stays inside Spark's 38-digit
+    ceiling without precision loss)."""
     d = load_table(spark, sf_dir, "documents")
     # ONE explode of the corpus, immediately pre-aggregated to
     # (doc_id, bucket) occurrence counts and lineage-truncated: the
@@ -390,4 +392,240 @@ def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy("c_nationkey", "c_mktsegment")
         .agg(F.count("*").alias("n_rows"))
         .withColumn("risky", F.col("n_rows") < K_ANON)
+    )
+
+
+# ---------------------------------------------------------------------------
+# the composed curation funnel — one manifest for the whole pipeline
+# ---------------------------------------------------------------------------
+
+FUNNEL_DOMAIN_CAP = 5
+_GATE_MIN_TOKENS = 40  # the stream_quality_gate rules, batch-composed
+_GATE_MAX_CHARS = 450
+
+
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one funnel manifest: raw corpus
+    → language filter → quality gate → MinHash-LSH dedup survivors →
+    per-domain cap, each stage reported with its surviving doc and
+    token counts — the one-page number a data lead reads before a
+    training run (and the composition proof: every stage is an
+    already-verified operator of this engine, chained).
+
+    Stage semantics: dedup keeps the lower doc_id of every LSH
+    candidate pair WHERE BOTH SIDES survived the gate (dedup runs on
+    what the gate admitted, as in a real pipeline); the domain cap
+    ranks gate+dedup survivors per source by deterministic hash and
+    keeps {FUNNEL_DOMAIN_CAP}.
+
+    Plan: stages are cumulative predicates over ONE scan (Catalyst
+    collapses the stage filters; the only extra structures are the
+    LSH pair relation — Σ bucket², already bounded by the banding —
+    and the per-source window over cap survivors). The five stage
+    aggregates union into a 5-row manifest; at 100 TB this is the
+    same one-pass-plus-dedup cost as running the final stage alone."""
+    from sfdc_cdc_aws_spark.operators.dedup import minhash_lsh_dedup
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens_col()).alias("n_tok"),
+    )
+    s1 = d.where(F.col("lang") == "en")
+    s2 = s1.where(
+        (F.col("n_tok") >= _GATE_MIN_TOKENS)
+        & (F.col("n_chars") < _GATE_MAX_CHARS)
+    )
+    # dedup among gate survivors: drop the higher id of every LSH
+    # pair whose BOTH endpoints passed the gate
+    pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    gated_ids = s2.select("doc_id")
+    drop = (
+        pairs.join(gated_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(gated_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(drop, "doc_id", "left_anti")
+    w = Window.partitionBy("source").orderBy(
+        shared_hash64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    s4 = (
+        s3.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= FUNNEL_DOMAIN_CAP)
+        .drop("rk")
+    )
+
+    def stage(df: DataFrame, sid: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+        ).select(
+            F.lit(sid).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        stage(d, 0, "raw")
+        .unionAll(stage(s1, 1, "lang_en"))
+        .unionAll(stage(s2, 2, "quality_gate"))
+        .unionAll(stage(s3, 3, "lsh_dedup"))
+        .unionAll(stage(s4, 4, "domain_cap"))
+    )
+
+
+def _funnel_oracle() -> str:
+    from sfdc_cdc_aws_spark.operators.dedup import _DUCK_LSH_PAIRS_CTE
+
+    return f"""
+WITH {_DUCK_LSH_PAIRS_CTE},
+d AS (
+  SELECT doc_id, source, lang, n_chars,
+         len({_DUCK_TOKENS}) AS n_tok
+  FROM documents
+),
+s1 AS (SELECT * FROM d WHERE lang = 'en'),
+s2 AS (SELECT * FROM s1
+       WHERE n_tok >= {_GATE_MIN_TOKENS} AND n_chars < {_GATE_MAX_CHARS}),
+s3 AS (
+  SELECT * FROM s2 WHERE doc_id NOT IN (
+    SELECT p.doc_b FROM lsh_pairs p
+    JOIN s2 a ON a.doc_id = p.doc_a
+    JOIN s2 b ON b.doc_id = p.doc_b
+  )
+),
+s4 AS (
+  SELECT doc_id, source, lang, n_chars, n_tok FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source
+      ORDER BY {DUCK_HASH64.format(expr='CAST(doc_id AS VARCHAR)')}, doc_id
+    ) AS rk FROM s3
+  ) WHERE rk <= {FUNNEL_DOMAIN_CAP}
+)
+SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM d
+UNION ALL
+SELECT 1, 'lang_en', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s1
+UNION ALL
+SELECT 2, 'quality_gate', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'lsh_dedup', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s3
+UNION ALL
+SELECT 4, 'domain_cap', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s4
+""".strip()
+
+
+# late-bind the oracle (dedup's CTE lives in a module that imports us
+# indirectly through text.py — resolve at import-completion time, the
+# registry stores plain strings)
+from sfdc_cdc_aws_spark.registry import QUERIES as _Q  # noqa: E402
+
+import dataclasses as _dc  # noqa: E402
+
+from sfdc_cdc_aws_spark.registry import query as _query  # noqa: E402
+
+# the funnel oracle composes dedup's LSH CTE, which cannot be an
+# f-string at decoration time (dedup imports text which sits below
+# us in load_all order) — register the builder, then late-bind the
+# SQL once both modules exist; the registry stores plain strings
+_query("curation_funnel_report")(curation_funnel_report)
+_Q["curation_funnel_report"] = _dc.replace(
+    _Q["curation_funnel_report"], oracle=_funnel_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# token budget allocation — largest-remainder apportionment
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 100_000  # tokens the training run may draw
+
+
+@query(
+    "token_budget_allocation",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, n_tokens,
+         {TOKEN_BUDGET} * (CAST(n_tokens AS DOUBLE)
+                           / sum(n_tokens) OVER ()) AS quota
+  FROM s
+),
+f AS (
+  SELECT source, n_tokens, quota,
+         CAST(floor(quota) AS BIGINT) AS base,
+         quota - floor(quota) AS frac
+  FROM q
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY frac DESC, source) AS frac_rank,
+         {TOKEN_BUDGET} - sum(base) OVER () AS leftover
+  FROM f
+)
+SELECT source, n_tokens,
+       round(quota, 6) AS quota,
+       CAST(base + CASE WHEN frac_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_tokens,
+       frac_rank <= leftover AS got_remainder
+FROM r
+""",
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apportion a fixed training-token budget ({TOKEN_BUDGET}) across
+    sources proportionally to their token mass using the
+    LARGEST-REMAINDER method (floor every quota, then hand the
+    leftover tokens to the largest fractional parts — ties broken on
+    source name): Σ alloc_tokens == budget EXACTLY, every allocation
+    within 1 of its real-valued quota — the property a sampling job
+    needs so per-source readers can be sized up front. The
+    quota/remainder columns make the apportionment auditable.
+
+    Plan: one map-side-partial aggregate over documents (shuffle
+    carries one row per source), then window arithmetic over the
+    |sources|-row metadata relation — the same deliberately-tiny
+    single-partition window as mixture_reweight (at 100 TB |sources|
+    is thousands, not billions; the corpus-sized work is only the
+    first aggregate)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(tokens_col())).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    quota = TOKEN_BUDGET * (
+        F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    )
+    f = s.select(
+        "source",
+        "n_tokens",
+        quota.alias("quota"),
+        F.floor(quota).cast("bigint").alias("base"),
+        (quota - F.floor(quota)).alias("frac"),
+    )
+    r = f.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("frac").desc(), "source"))
+        .alias("frac_rank"),
+        (TOKEN_BUDGET - F.sum("base").over(w)).alias("leftover"),
+    )
+    got = F.col("frac_rank") <= F.col("leftover")
+    return r.select(
+        "source",
+        "n_tokens",
+        F.round("quota", 6).alias("quota"),
+        (F.col("base") + got.cast("long")).cast("bigint").alias(
+            "alloc_tokens"
+        ),
+        got.alias("got_remainder"),
     )

@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.operators.curation",
         "sfdc_cdc_aws_spark.operators.curation2",
         "sfdc_cdc_aws_spark.operators.linalg",
+        "sfdc_cdc_aws_spark.operators.lm",
         "sfdc_cdc_aws_spark.operators.maintenance",
         "sfdc_cdc_aws_spark.operators.stats",
         "sfdc_cdc_aws_spark.operators.training",
@@ -77,6 +78,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.streaming.ingest_ann",
         "sfdc_cdc_aws_spark.streaming.backfill",
         "sfdc_cdc_aws_spark.streaming.quality_gate",
+        "sfdc_cdc_aws_spark.streaming.ingest_dsir",
     ):
         try:
             importlib.import_module(mod)

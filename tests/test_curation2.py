@@ -1,0 +1,74 @@
+"""Round-9 curation family: structural invariants beyond the oracle
+hash (the oracle proves value equality; these pin the semantics the
+values must obey)."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_funnel_stages_monotonic(spark):
+    """Every funnel stage is a subset of the previous one: doc and
+    token counts must be non-increasing, stage 0 must equal the raw
+    corpus, and at least one stage must actually drop something (a
+    funnel that filters nothing verifies nothing)."""
+    from sfdc_cdc_aws_spark.operators.curation2 import curation_funnel_report
+    from sfdc_cdc_aws_spark.sources import load_table
+
+    rows = {
+        r.stage: r for r in curation_funnel_report(spark, SF).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    raw = load_table(spark, SF, "documents").count()
+    assert rows[0].n_docs == raw
+    for s in range(1, 5):
+        assert rows[s].n_docs <= rows[s - 1].n_docs, s
+        assert rows[s].n_tokens <= rows[s - 1].n_tokens, s
+    assert rows[4].n_docs < rows[0].n_docs
+
+
+def test_domain_cap_kept_counts(spark):
+    """kept rows per source == min(cap, source size); ranks are a
+    permutation of 1..n within each source."""
+    from collections import Counter
+
+    from sfdc_cdc_aws_spark.operators.curation2 import (
+        DOMAIN_CAP,
+        domain_cap_sample,
+    )
+
+    rows = domain_cap_sample(spark, SF).collect()
+    per_src = Counter(r.source for r in rows)
+    kept = Counter(r.source for r in rows if r.kept)
+    for src, n in per_src.items():
+        assert kept[src] == min(DOMAIN_CAP, n), src
+        rks = sorted(r.rk for r in rows if r.source == src)
+        assert rks == list(range(1, n + 1)), src
+
+
+def test_stupid_backoff_levels_account_for_all_trigrams(spark):
+    """n_hit3+n_hit2+n_hit1+n_hit0 == n_tri on every holdout doc, and
+    backoff must actually fire somewhere (a held-out corpus whose
+    every trigram was seen in the seed verifies nothing)."""
+    from sfdc_cdc_aws_spark.operators.lm import stupid_backoff_score
+
+    rows = stupid_backoff_score(spark, SF).collect()
+    assert rows, "holdout docs with >=3 tokens must exist"
+    for r in rows:
+        assert r.n_hit3 + r.n_hit2 + r.n_hit1 + r.n_hit0 == r.n_tri, r
+        assert r.lm_score < 0  # log-probs of a stochastic model
+    assert sum(r.n_hit2 + r.n_hit1 + r.n_hit0 for r in rows) > 0
+
+
+def test_pca_residual_orthogonality_invariants(spark):
+    """var_removed in [0,1]; residual norm never exceeds the vector
+    norm (res_norm² = (1-var_removed)·‖x‖²); the dominant direction
+    must explain a nonzero fraction somewhere."""
+    from sfdc_cdc_aws_spark.operators.linalg import pca_project_residual
+
+    rows = pca_project_residual(spark, SF).collect()
+    assert rows
+    assert any(r.var_removed > 0 for r in rows)
+    for r in rows:
+        assert -1e-6 <= r.var_removed <= 1.0 + 1e-6, r
+        assert r.res_norm >= 0, r

@@ -30,3 +30,22 @@ def test_gate_metrics_account_for_every_row(spark):
     # actually micro-batch (a single-batch drain would not exercise
     # the cross-batch metric summation)
     assert m["n_batches"] >= 2, m
+
+
+def test_shared_truncate_lineage_reliable_checkpoint(spark, tmp_path, monkeypatch):
+    """Round-8 ADVICE: every lineage-truncation site routes through
+    session.truncate_lineage, so SPARK_GRAFT_CHECKPOINT_DIR flips ALL
+    of them (not just the CC loop) to a reliable checkpoint — proven
+    here on bm25_score (the key the advice named): same answer, and
+    the dir receives checkpoint data."""
+    import os
+
+    from sfdc_cdc_aws_spark.operators.text import bm25_score
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(tuple(r) for r in bm25_score(spark, sf).collect())
+    ckpt = tmp_path / "bm25_ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckpt))
+    got = sorted(tuple(r) for r in bm25_score(spark, sf).collect())
+    assert got == base
+    assert any(os.scandir(ckpt)), "reliable checkpoint dir must be used"

@@ -56,6 +56,7 @@ MATERIALIZED_KEYS = {
 # data volume.
 ALLOWLIST: dict[str, dict[str, str]] = {
     "global_window": {
+        "token_budget_allocation": "three windows over the |sources|-row aggregate (share, remainder rank, leftover) — metadata relation, thousands of rows at 100 TB, never the corpus (same class as mixture_reweight)",
         "bpe_merge_step": "window over distinct char pairs — bounded by alphabet^2 (~1k rows); documented in its docstring",
         "compaction_bin_pack": "bin-pack walk over one row per date partition — metadata scale, not data scale",
         "concurrency_sweepline": "day-offset running sum over one row per day — calendar-sized by construction (the data-proportional sum is day-partitioned)",
@@ -83,6 +84,8 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "nb_token_classifier": "model scalars (vocab size, class token totals, doc priors) — one-row build sides crossed into the broadcast LLR relation and the final score",
         "pagerank_step": "node-count / teleport scalar — one row",
         "pca_power_iter": "max-|w| normalizer scalar per iteration — one-row build sides (the quantizer itself, same class as bigram_lm_score's corpus scalar)",
+        "pca_project_residual": "the power-iteration normalizer scalars plus the vᵀv scalar, each one row, repeated across the shared-subplan branches (x feeds t, rsq and xsq) — every build side is a single-row relation",
+        "stupid_backoff_score": "corpus token-total scalar N — one-row build side crossed into the unigram model and the OOV floor",
         "quantile_bucketize": "build side is ONE row of three percentile boundaries",
         "range_join_bands": "build side is the fixed price-band table — |bands| rows by construction",
         "rfm_segmentation": "recency anchor scalar (max purchase ts) — one row",
