@@ -427,3 +427,238 @@ def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_level double, peak_level bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (round 9): REAL PPM decode → aHash → groups
+# ---------------------------------------------------------------------------
+
+AHASH_FAMILIES = 16  # distinct images; every doc renders one of them
+AHASH_BYTES = 192  # 16px wide x 4 rows x RGB = 64 pixels exactly
+
+
+def _ahash_content(doc_id: int) -> bytes:
+    """Deterministic image content keyed on the doc's FAMILY
+    (doc_id % AHASH_FAMILIES), so the corpus holds ~n/16 exact
+    renders of each image — the duplicate structure a perceptual
+    hash must recover."""
+    fam = doc_id % AHASH_FAMILIES
+    return bytes((fam * 31 + i * 7) % 256 for i in range(AHASH_BYTES))
+
+
+def ahash_from_pixels(pixels: bytes) -> int:
+    """64-pixel average hash in pure integer math: pixel p is a 1-bit
+    when 64·(r+g+b) ≥ Σ(r+g+b) — algebraically 'grayscale ≥ corpus
+    mean' without ever dividing, so no float can disagree between
+    engines. Bits 0..62 pack into a non-negative BIGINT (bit 63
+    dropped to stay in signed range; 63 bits of a 64-px hash keeps
+    the Hamming geometry intact for dedup purposes)."""
+    sums = [
+        pixels[3 * p] + pixels[3 * p + 1] + pixels[3 * p + 2]
+        for p in range(64)
+    ]
+    total = sum(sums)
+    h = 0
+    for p in range(63):
+        if 64 * sums[p] >= total:
+            h |= 1 << p
+    return h
+
+
+@query(
+    "image_ahash_dedup",
+    oracle=f"""
+WITH px AS (
+  SELECT fam, p,
+         ((fam * 31 + (3 * p) * 7) % 256)
+       + ((fam * 31 + (3 * p + 1) * 7) % 256)
+       + ((fam * 31 + (3 * p + 2) * 7) % 256) AS sum_p
+  FROM (SELECT unnest(range(0, {AHASH_FAMILIES})) AS fam),
+       (SELECT unnest(range(0, 64)) AS p)
+),
+tot AS (SELECT fam, sum(sum_p) AS total FROM px GROUP BY fam),
+h AS (
+  SELECT px.fam,
+         CAST(sum(CASE WHEN px.p < 63 AND 64 * px.sum_p >= tot.total
+                  THEN (1::BIGINT << CAST(px.p AS INT)) ELSE 0 END)
+              AS BIGINT) AS ahash
+  FROM px JOIN tot ON px.fam = tot.fam GROUP BY px.fam
+)
+SELECT h.ahash,
+       count(*) AS n_copies,
+       min(d.doc_id) AS keep_doc_id
+FROM documents d JOIN h ON d.doc_id % {AHASH_FAMILIES} = h.fam
+GROUP BY h.ahash
+""",
+)
+def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed IMAGE dedup through a REAL decode: every doc
+    renders its family's binary PPM, the stdlib decoder parses it
+    back, and the 64-pixel average hash (integer-exact, see
+    :func:`ahash_from_pixels`) becomes the dedup key — group by hash,
+    keep the lowest doc. This is the perceptual twin of
+    ``media_dedup_exact`` (which keys on raw-byte md5): aHash keys on
+    DECODED PIXELS, so a re-encoded duplicate (same image, different
+    container bytes) still collides — the property image dedup at
+    100 TB actually needs.
+
+    Plan: encode→decode→hash runs in ONE Arrow-batched mapInPandas
+    pass (bytes never leave the executor), then a map-side-partial
+    groupBy on the 63-bit hash — the shuffle carries one row per
+    distinct image. The oracle recomputes every family's hash from
+    the content formula, so a decoder that misread the header or
+    dropped padding hash-fails."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = build_ppm(_ahash_content(int(doc_id)))
+                dec_pixels = payload.split(b"\n", 3)[3]
+                # prove the decode: the stdlib parser must agree on
+                # the geometry before we hash its pixel buffer
+                dec = decode_media_stdlib(payload, "image/x-portable-pixmap")
+                assert dec["n_units"] == 64, dec
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "ahash": ahash_from_pixels(dec_pixels),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    hashed = d.mapInPandas(batches, schema="doc_id bigint, ahash bigint")
+    return hashed.groupBy("ahash").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio VAD segmentation (round 9): REAL WAV decode → energy runs
+# ---------------------------------------------------------------------------
+
+VAD_FRAME = 32  # samples per frame (4 ms at 8 kHz)
+VAD_THRESHOLD = 8  # mean |s-128| above this = speech-active frame
+
+
+def _vad_content(doc_id: int, n: int) -> bytes:
+    """PCM stream with an on/off amplitude envelope: block b of 32
+    samples is ACTIVE when (doc_id*7 + b*13) % 5 < 3 — irregular
+    speech/silence runs, formula-computable by the oracle. Silent
+    samples sit at 128 (8-bit PCM zero); active samples deviate by
+    (doc_id*31 + i*7) % 64."""
+    out = bytearray()
+    for i in range(n):
+        b = i // VAD_FRAME
+        if (doc_id * 7 + b * 13) % 5 < 3:
+            out.append(128 + (doc_id * 31 + i * 7) % 64)
+        else:
+            out.append(128)
+    return bytes(out)
+
+
+@query(
+    "audio_vad_segments",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, least(greatest(n_chars, 1), {MEDIA_CONTENT_CAP}) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, i, CAST(i // {VAD_FRAME} AS BIGINT) AS frame,
+         CASE WHEN (doc_id * 7 + (i // {VAD_FRAME}) * 13) % 5 < 3
+              THEN (doc_id * 31 + i * 7) % 64 ELSE 0 END AS dev
+  FROM base, unnest(generate_series(0, n - 1)) AS t(i)
+),
+f AS (
+  SELECT doc_id, frame,
+         CASE WHEN {VAD_FRAME} * sum(dev)
+                   > count(*) * {VAD_FRAME} * {VAD_THRESHOLD}
+              THEN 1 ELSE 0 END AS active
+  FROM s GROUP BY doc_id, frame
+),
+runs AS (
+  SELECT doc_id, frame, active,
+         active - coalesce(lag(active) OVER (
+           PARTITION BY doc_id ORDER BY frame), 0) AS starts
+  FROM f
+)
+SELECT doc_id,
+       count(*) AS n_frames,
+       CAST(sum(active) AS BIGINT) AS n_active_frames,
+       CAST(sum(CASE WHEN starts = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_segments,
+       CAST(sum(active) * {VAD_FRAME} * 1000 / {MEDIA_RATE_HZ} AS BIGINT)
+         AS active_ms
+FROM runs
+GROUP BY doc_id
+""",
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation through a REAL decode: per doc,
+    build the envelope-modulated WAV, parse it back with the stdlib
+    ``wave`` reader, frame the DECODED samples ({VAD_FRAME} samples =
+    4 ms), mark frames whose mean |s−128| clears {VAD_THRESHOLD}, and
+    count activity runs — the speech-segment extraction an audio
+    training pipeline runs before transcription/chunking (the
+    energy-threshold baseline every VAD paper starts from). The
+    activity test is evaluated as Σ|s−128| > frame_len·threshold —
+    integer-exact, so both engines cut identically.
+
+    Plan: encode→decode→frame→segment is one Arrow-batched
+    mapInPandas pass emitting ONE ROW PER DOC (the per-sample and
+    per-frame fan-out stays inside the executor, nothing row-exploded
+    ever shuffles); the oracle recomputes frames and runs from the
+    content formula with a lag() window. At 100 TB this is the
+    pattern that matters: per-object media DSP is embarrassingly
+    parallel, so it must cost zero shuffle — and here it does."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in it:
+            out = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = min(max(int(n_chars), 1), MEDIA_CONTENT_CAP)
+                payload = build_wav(_vad_content(int(doc_id), n))
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    samples = w.readframes(w.getnframes())
+                assert len(samples) == n
+                n_frames = (n + VAD_FRAME - 1) // VAD_FRAME
+                n_active = n_segments = 0
+                prev = 0
+                for fr in range(n_frames):
+                    chunk = samples[fr * VAD_FRAME : (fr + 1) * VAD_FRAME]
+                    dev_sum = sum(abs(s - 128) for s in chunk)
+                    # integer-exact twin of mean(dev) > THRESHOLD:
+                    # frame_len * mean > frame_len * thr
+                    active = 1 if VAD_FRAME * dev_sum > len(chunk) * (
+                        VAD_FRAME * VAD_THRESHOLD
+                    ) else 0
+                    n_active += active
+                    if active and not prev:
+                        n_segments += 1
+                    prev = active
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_frames": n_frames,
+                        "n_active_frames": n_active,
+                        "n_segments": n_segments,
+                        "active_ms": n_active * VAD_FRAME * 1000
+                        // MEDIA_RATE_HZ,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, n_frames bigint, n_active_frames bigint, "
+            "n_segments bigint, active_ms bigint"
+        ),
+    )
