@@ -130,3 +130,27 @@ def test_full_registry_scale_lane_artifact():
     assert rep["superlinear_unexplained"] == [], rep["superlinear_unexplained"]
     for k in rep["superlinear"]:
         assert k in rep["superlinear_explained"], k
+
+
+def test_scale100_lane_artifact():
+    """BENCH_SCALE100.json (round 9): the flagship LLM-pipeline subset
+    must hold TWO decades up — every key sublinear-or-near-linear per
+    decade, every oracle-eligible key MATCH (or MATCH_TOL with the
+    recorded ≤2e-6 last-digit drift and a handful of rows) at 500k
+    docs / 50k vectors."""
+    path = os.path.join(REPO, "BENCH_SCALE100.json")
+    with open(path) as f:
+        rep = json.load(f)
+    assert len(rep["keys"]) >= 15
+    for key, row in rep["keys"].items():
+        verdict = str(row.get("oracle_at_100x", "MATCH"))
+        assert verdict.startswith("MATCH"), (key, verdict)
+        if verdict.startswith("MATCH_TOL"):
+            assert row["max_abs_diff"] <= 2e-6, (key, row)
+            assert row["rows_beyond_exact"] <= 10, (key, row)
+        # each decade at most ~linear (x12 grace for fixture-driven
+        # feature-density growth: the 100x replicas are GRADED
+        # near-duplicates, so text keys see slightly more distinct
+        # features per decade than pure replication would give)
+        assert row["decade1_ratio"] <= 12.0, (key, row)
+        assert row["decade2_ratio"] <= 12.0, (key, row)

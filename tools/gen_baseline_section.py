@@ -322,6 +322,42 @@ def build() -> str:
             f" (all explained in the artifact; unexplained: "
             f"{scale_full['superlinear_unexplained'] or 'none'}).",
         ]
+    scale100 = _load("BENCH_SCALE100.json")
+    if scale100:
+        lines += [
+            "",
+            "**Two decades up (BENCH_SCALE100.json, round 9 — the "
+            "LLM-pipeline flagship subset at ×1 / ×10 / ×100 documents "
+            "+ embeddings, 500k docs / 50k vectors, lineage truncation "
+            "routed to the reliable on-disk checkpoint):**",
+            "",
+            "| Key | ×1 s | ×10 s | ×100 s | decade 1 | decade 2 | oracle at ×100 |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for key in sorted(scale100["keys"]):
+            r = scale100["keys"][key]
+            verdict = str(r.get("oracle_at_100x", "run-only"))
+            if verdict.startswith("MATCH_TOL"):
+                verdict += (
+                    f" ({r['rows_beyond_exact']} rows ≤ "
+                    f"{r['max_abs_diff']:.0e})"
+                )
+            lines.append(
+                f"| `{key}` | {r['x1_s']} | {r['x10_s']} | {r['x100_s']} "
+                f"| {r['decade1_ratio']}× | {r['decade2_ratio']}× "
+                f"| {verdict} |"
+            )
+        lines += [
+            "",
+            "`minhash_lsh_dedup` emits 26.9M candidate pairs at ×100 "
+            "(graded near-dup families of 100) in 10.4 s — the "
+            "salt-split bucket machinery paying exactly the "
+            "irreducible Σ bucket² and nothing more. MATCH_TOL rows "
+            "are the cross-engine libm ln() 1-ulp reality hitting the "
+            "6th-decimal rounding boundary on a handful of 500k rows; "
+            "both keys are exact-hash-verified at ×1/×10 and in "
+            "PARITY_SF01.",
+        ]
     lines.append(END)
     return "\n".join(lines) + "\n"
 
