@@ -225,10 +225,12 @@ llr AS (
 SELECT tok.doc_id,
        count(*) AS n_tok_seen,
        round(CAST(sum(llr.c) AS DOUBLE)
-             + ln(CAST(any_value(m.np) AS DOUBLE) / any_value(m.nn)), 6)
+             + ln((any_value(m.np) + {NB_ALPHA})
+                  / (any_value(m.nn) + {NB_ALPHA})), 6)
          AS score,
        (CAST(sum(llr.c) AS DOUBLE)
-        + ln(CAST(any_value(m.np) AS DOUBLE) / any_value(m.nn))) > 0
+        + ln((any_value(m.np) + {NB_ALPHA})
+             / (any_value(m.nn) + {NB_ALPHA}))) > 0
          AS pred_en
 FROM tok JOIN llr USING (token) CROSS JOIN m
 WHERE NOT tok.seed
@@ -287,7 +289,12 @@ def nb_token_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         9,
     ).cast("decimal(28,9)")
     llr = F.broadcast(vocab.crossJoin(m).select("token", c.alias("c")))
-    prior = F.log(F.col("np").cast("double") / F.col("nn"))
+    # class-prior log-odds, add-alpha smoothed like the token counts:
+    # a degenerate one-class seed slice must not divide by zero
+    # (round-9 advice — DuckDB errors, Spark yields ±Infinity)
+    prior = F.log(
+        (F.col("np") + NB_ALPHA) / (F.col("nn") + NB_ALPHA)
+    )
     raw_score = F.col("s").cast("double") + prior
     return (
         tok.where(~F.col("seed"))
@@ -400,8 +407,13 @@ def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 FUNNEL_DOMAIN_CAP = 5
-_GATE_MIN_TOKENS = 40  # the stream_quality_gate rules, batch-composed
-_GATE_MAX_CHARS = 450
+# the stream_quality_gate rules, batch-composed — IMPORTED, not
+# re-declared, so retuning the stream gate retunes the funnel's
+# quality_gate stage with it (round-9 advice)
+from sfdc_cdc_aws_spark.streaming.quality_gate import (  # noqa: E402
+    GATE_MAX_CHARS as _GATE_MAX_CHARS,
+    GATE_MIN_TOKENS as _GATE_MIN_TOKENS,
+)
 
 
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:

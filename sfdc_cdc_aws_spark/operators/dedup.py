@@ -1423,6 +1423,37 @@ def editdist_verify_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "edit_verify_budget_report",
+    oracle=f"""
+WITH {_DUCK_LSH_PAIRS_CTE}
+SELECT count(*) AS n_candidates,
+       {EDIT_VERIFY_BUDGET} AS budget,
+       count(*) > {EDIT_VERIFY_BUDGET} AS budget_binding
+FROM lsh_pairs
+""",
+)
+def edit_verify_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion relation to ``editdist_verify_neardup`` (round-9
+    advice): the pre-cut candidate count, the verify budget, and
+    whether the budget binds — as a one-row DATAFRAME, so a composed
+    pipeline can branch on a binding budget (e.g. widen the budget,
+    or tighten the LSH bands) without reaching into the JVM
+    observed-metrics harness. The verify key itself stays pure
+    (same schema/hash as before); this is the observability surface.
+
+    Plan: the LSH pair relation aggregated to one row — the pair
+    space is already bounded by the banding/caps, and the aggregate
+    is map-side partial; at 100 TB this costs one pass over the
+    candidate relation the verify stage builds anyway."""
+    pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    return pairs.agg(
+        F.count("*").alias("n_candidates"),
+        F.lit(EDIT_VERIFY_BUDGET).cast("int").alias("budget"),
+        (F.count("*") > EDIT_VERIFY_BUDGET).alias("budget_binding"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # ensemble near-dup vote (minhash-LSH ∩ ngram-Jaccard ∩ simhash)
 # ---------------------------------------------------------------------------

@@ -124,13 +124,46 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(tokens_col())).cast("bigint").alias("n_tokens"),
         )
     )
-    # drain with availableNow and harvest the observation from each
-    # micro-batch's progress (run_available_now doesn't expose
-    # progresses; the gate's whole point is reading them)
+    # drain with availableNow and harvest the observation PER BATCH,
+    # keyed by batchId, from BOTH a StreamingQueryListener and the
+    # query's recentProgress buffer. recentProgress alone retains only
+    # the last spark.sql.streaming.numRecentProgressUpdates (default
+    # 100) entries — a drain of >100 micro-batches would silently
+    # undercount; the listener sees every batch but is dispatched
+    # asynchronously, so the tail batches may not have been delivered
+    # when awaitTermination returns. The union by batchId is complete
+    # under both failure modes.
+    import json as _json
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
     qname = f"quality_gate_{uuid.uuid4().hex[:8]}"
     ckpt = f"/tmp/sfdc_cdc_ckpt/{qname}"
+    by_batch: dict[int, tuple[int, int]] = {}
+
+    def _harvest(d: dict) -> None:
+        om = (d.get("observedMetrics") or {}).get("quality_gate")
+        if om and d.get("name") == qname:
+            by_batch[d["batchId"]] = (om["n_in"], om["n_pass"] or 0)
+
+    class _GateListener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            _harvest(_json.loads(event.progress.json))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _GateListener()
+    spark.streams.addListener(listener)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = None
     try:
         q = (
             gated.writeStream.format("memory")
@@ -141,26 +174,27 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        import json as _json
-
-        n_in = n_pass = n_batches = 0
         for p in q.recentProgress:
-            d = p if isinstance(p, dict) else _json.loads(p.json)
-            om = (d.get("observedMetrics") or {}).get("quality_gate")
-            if om:
-                n_in += om["n_in"]
-                n_pass += om["n_pass"] or 0
-                n_batches += 1
+            _harvest(p if isinstance(p, dict) else _json.loads(p.json))
+        n_in = sum(v[0] for v in by_batch.values())
+        n_pass = sum(v[1] for v in by_batch.values())
         LAST_GATE_METRICS.clear()
         LAST_GATE_METRICS.update(
             n_in=n_in, n_pass=n_pass, n_dropped=n_in - n_pass,
-            n_batches=n_batches,
+            n_batches=len(by_batch),
         )
+        result = spark.table(qname).localCheckpoint()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    result = spark.table(qname).localCheckpoint()
-    spark.catalog.dropTempView(qname)
-    import shutil
+        # cleanup must run on the failure path too: a failed drain
+        # would otherwise leak the memory-sink temp view and the
+        # checkpoint directory (round-9 advice)
+        import shutil
 
-    shutil.rmtree(ckpt, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.streams.removeListener(listener)
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
     return result
