@@ -38,6 +38,16 @@ STRIDE = 48
 WIN_K = 4
 WIN_W = 5
 
+# Line-level dedup: the corpus has no newlines, so a "line" is a
+# fixed non-overlapping LINE_TOKENS-token segment; a line appearing
+# in >= LINE_DUP_MIN_DOCS distinct documents is boilerplate and is
+# removed from EVERY document (the C4/CCNet/RefinedWeb convention).
+# 4-token lines split the synthetic corpus both ways at every SF
+# (~11% of occurrences drop at sf0.001) — a threshold nothing (or
+# everything) hits verifies nothing.
+LINE_TOKENS = 4
+LINE_DUP_MIN_DOCS = 2
+
 
 @query(
     "chunk_overlap",
@@ -131,6 +141,115 @@ def sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_occ"),
         )
         .where(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "line_dedup_corpus",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+seg AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(
+           list_slice(tk, (i - 1) * {LINE_TOKENS} + 1, i * {LINE_TOKENS}),
+           ' ') AS line
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(
+                 1, CAST(ceil(len(tk) / {LINE_TOKENS}.0) AS BIGINT))) AS i
+        FROM t WHERE len(tk) >= 1)
+),
+h AS (SELECT doc_id, pos, line,
+             {DUCK_HASH64.format(expr='line')} AS h
+      FROM seg),
+boiler AS (
+  SELECT h FROM h GROUP BY h
+  HAVING count(DISTINCT doc_id) >= {LINE_DUP_MIN_DOCS}
+),
+flagged AS (
+  SELECT s.doc_id, s.pos, s.line, b.h IS NOT NULL AS dup
+  FROM h s LEFT JOIN boiler b USING (h)
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(count(*) - sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       {DUCK_HASH64.format(
+           expr="coalesce(string_agg(CASE WHEN NOT dup THEN line END,"
+                " ' ' ORDER BY pos), '')")} AS new_text_hash
+FROM flagged GROUP BY doc_id
+""",
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup — the C4/CCNet/RefinedWeb boilerplate
+    step the document-granularity family can't do: any line
+    (non-overlapping {LINE_TOKENS}-token segment; see LINE_TOKENS
+    above) occurring in ≥{LINE_DUP_MIN_DOCS} distinct documents is
+    removed from every document, and each document is REWRITTEN from
+    its surviving lines in order. Unlike ``sentence_dedup`` (which
+    detects duplication) this emits the transformed training text:
+    per-doc total/kept/dropped line counts plus the 64-bit hash of
+    the rewritten text — the detect→act closure for sub-document
+    dedup, the way dedup_keep_best closed it for whole documents.
+    Zero-token documents have no lines and are not emitted.
+
+    Plan: lines are hashed at birth, so the boilerplate aggregate and
+    the back-join both shuffle narrow (hash, doc_id) rows; line TEXT
+    shuffles once, inside the per-doc reassembly aggregate (24-byte
+    average lines — bounded by LINE_TOKENS, never whole documents).
+    The HAVING filter drops the long unique tail at the reducer; at
+    100 TB the surviving boilerplate head (nav bars, footers, license
+    headers) is tiny relative to the corpus, and every stage is a
+    plain hash-keyed aggregate or join — nothing is iterative,
+    nothing collects."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", tokens_col().alias("t"))
+        .where(F.size("t") >= 1)
+        .withColumn(
+            "nl",
+            F.ceil(F.size("t") / F.lit(float(LINE_TOKENS))).cast("int"),
+        )
+    )
+    seg = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.col("nl"))).alias("pos"),
+    )
+    sl = F.slice(F.col("t"), (F.col("pos") - 1) * LINE_TOKENS + 1, LINE_TOKENS)
+    lines = seg.select(
+        "doc_id",
+        "pos",
+        F.array_join(sl, " ").alias("line"),
+    ).withColumn("h", shared_hash64(F.col("line")))
+    boiler = (
+        lines.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= LINE_DUP_MIN_DOCS)
+        .select("h", F.lit(True).alias("dup"))
+    )
+    flagged = lines.join(boiler, "h", "left")
+    # collect_list skips the nulls when() produces for dropped lines;
+    # sort_array orders the kept structs by pos (unique per doc)
+    kept = F.sort_array(
+        F.collect_list(
+            F.when(F.col("dup").isNull(), F.struct("pos", "line"))
+        )
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("dup").isNotNull().cast("long")).alias("n_dropped"),
+        kept.alias("kept_structs"),
+    )
+    new_text = F.array_join(
+        F.transform("kept_structs", lambda s: s.line), " "
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_dropped",
+        (F.col("n_lines") - F.col("n_dropped")).alias("n_kept"),
+        shared_hash64(new_text).alias("new_text_hash"),
     )
 
 

@@ -407,6 +407,11 @@ def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 FUNNEL_DOMAIN_CAP = 5
+# Training-token budget for the funnel's final fill stage. Sized to
+# BIND at every test SF (stage-5 survivor mass is ~2.7k tokens at
+# sf0.001 and grows with SF) while leaving every source at least ~1
+# admissible document — a budget nothing hits verifies nothing.
+FUNNEL_TOKEN_BUDGET = 1_500
 # the stream_quality_gate rules, batch-composed — IMPORTED, not
 # re-declared, so retuning the stream gate retunes the funnel's
 # quality_gate stage with it (round-9 advice)
@@ -419,23 +424,33 @@ from sfdc_cdc_aws_spark.streaming.quality_gate import (  # noqa: E402
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE curation pipeline as one funnel manifest: raw corpus
     → language filter → quality gate → MinHash-LSH dedup survivors →
-    per-domain cap, each stage reported with its surviving doc and
-    token counts — the one-page number a data lead reads before a
-    training run (and the composition proof: every stage is an
-    already-verified operator of this engine, chained).
+    per-domain cap → DSIR selection → token-budget fill, each stage
+    reported with its surviving doc and token counts — the one-page
+    number a data lead reads before a training run (and the
+    composition proof: every stage is an already-verified operator of
+    this engine, chained).
 
     Stage semantics: dedup keeps the lower doc_id of every LSH
     candidate pair WHERE BOTH SIDES survived the gate (dedup runs on
     what the gate admitted, as in a real pipeline); the domain cap
     ranks gate+dedup survivors per source by deterministic hash and
-    keeps {FUNNEL_DOMAIN_CAP}.
+    keeps {FUNNEL_DOMAIN_CAP}; DSIR selection keeps cap survivors the
+    importance model (dsir_importance_weights — trained on the FULL
+    corpus, as DSIR prescribes) scores target-ward (log_weight > 0);
+    the budget stage apportions {FUNNEL_TOKEN_BUDGET} training tokens
+    across sources by largest remainder over the DSIR survivors' token
+    mass (token_budget_allocation's method) and admits each source's
+    docs in deterministic hash order while the running token count
+    stays inside its allocation.
 
     Plan: stages are cumulative predicates over ONE scan (Catalyst
-    collapses the stage filters; the only extra structures are the
-    LSH pair relation — Σ bucket², already bounded by the banding —
-    and the per-source window over cap survivors). The five stage
-    aggregates union into a 5-row manifest; at 100 TB this is the
-    same one-pass-plus-dedup cost as running the final stage alone."""
+    collapses the stage filters; the extra structures are the LSH
+    pair relation — Σ bucket², already bounded by the banding — the
+    broadcast 1024-bucket DSIR model, the per-source windows over cap
+    and budget survivors, and the |sources|-row allocation relation).
+    The seven stage aggregates union into a 7-row manifest; at 100 TB
+    this is the same one-pass-plus-dedup-plus-model cost as running
+    the final stage alone."""
     from sfdc_cdc_aws_spark.operators.dedup import minhash_lsh_dedup
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -469,6 +484,51 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= FUNNEL_DOMAIN_CAP)
         .drop("rk")
     )
+    # stage 5: DSIR selection — keep cap survivors the importance
+    # model scores target-ward (the resampling step's deterministic
+    # acceptance core; the model is the already-verified
+    # dsir_importance_weights relation, trained on the full corpus)
+    dw = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id", "log_weight"
+    )
+    s5 = (
+        s4.join(dw, "doc_id")
+        .where(F.col("log_weight") > 0)
+        .drop("log_weight")
+    )
+    # stage 6: token-budget fill — largest-remainder apportionment of
+    # FUNNEL_TOKEN_BUDGET over the DSIR survivors' per-source token
+    # mass, then greedy admission per source in hash order while the
+    # inclusive running token count fits the allocation
+    src = s5.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    w_all = Window.partitionBy()
+    quota = FUNNEL_TOKEN_BUDGET * (
+        F.col("src_tokens").cast("double") / F.sum("src_tokens").over(w_all)
+    )
+    fr = src.select(
+        "source",
+        F.floor(quota).cast("bigint").alias("base"),
+        (quota - F.floor(quota)).alias("frac"),
+    ).select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("frac").desc(), "source"))
+        .alias("frac_rank"),
+        (FUNNEL_TOKEN_BUDGET - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    alloc = fr.select(
+        "source",
+        (
+            F.col("base")
+            + (F.col("frac_rank") <= F.col("leftover")).cast("long")
+        ).alias("alloc_tokens"),
+    )
+    s6 = (
+        s5.withColumn("cum", F.sum("n_tok").over(w))
+        .join(F.broadcast(alloc), "source")
+        .where(F.col("cum") <= F.col("alloc_tokens"))
+        .drop("cum", "alloc_tokens")
+    )
 
     def stage(df: DataFrame, sid: int, name: str) -> DataFrame:
         return df.agg(
@@ -489,12 +549,19 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(s2, 2, "quality_gate"))
         .unionAll(stage(s3, 3, "lsh_dedup"))
         .unionAll(stage(s4, 4, "domain_cap"))
+        .unionAll(stage(s5, 5, "dsir_select"))
+        .unionAll(stage(s6, 6, "token_budget"))
     )
 
 
 def _funnel_oracle() -> str:
     from sfdc_cdc_aws_spark.operators.dedup import _DUCK_LSH_PAIRS_CTE
 
+    # the DSIR model relation is the ALREADY-REGISTERED oracle of
+    # dsir_importance_weights, embedded as a subquery (its WITH scope
+    # is its own; inner t/b/raw/tot/lr names shadow nothing out here)
+    dsir_sql = _Q["dsir_importance_weights"].oracle
+    doc_hash = DUCK_HASH64.format(expr="CAST(doc_id AS VARCHAR)")
     return f"""
 WITH {_DUCK_LSH_PAIRS_CTE},
 d AS (
@@ -516,9 +583,37 @@ s4 AS (
   SELECT doc_id, source, lang, n_chars, n_tok FROM (
     SELECT *, row_number() OVER (
       PARTITION BY source
-      ORDER BY {DUCK_HASH64.format(expr='CAST(doc_id AS VARCHAR)')}, doc_id
+      ORDER BY {doc_hash}, doc_id
     ) AS rk FROM s3
   ) WHERE rk <= {FUNNEL_DOMAIN_CAP}
+),
+dw AS (SELECT doc_id, log_weight FROM ({dsir_sql})),
+s5 AS (
+  SELECT s4.* FROM s4 JOIN dw USING (doc_id) WHERE dw.log_weight > 0
+),
+src AS (SELECT source, sum(n_tok) AS src_tokens FROM s5 GROUP BY source),
+fr AS (
+  SELECT source, CAST(floor(q) AS BIGINT) AS base, q - floor(q) AS frac
+  FROM (SELECT source,
+               {FUNNEL_TOKEN_BUDGET} * (CAST(src_tokens AS DOUBLE)
+                                        / sum(src_tokens) OVER ()) AS q
+        FROM src)
+),
+alloc AS (
+  SELECT source,
+         base + CASE WHEN row_number() OVER (ORDER BY frac DESC, source)
+                          <= {FUNNEL_TOKEN_BUDGET} - sum(base) OVER ()
+                     THEN 1 ELSE 0 END AS alloc_tokens
+  FROM fr
+),
+s6 AS (
+  SELECT doc_id, source, lang, n_chars, n_tok FROM (
+    SELECT s5.*, a.alloc_tokens,
+           sum(n_tok) OVER (
+             PARTITION BY s5.source ORDER BY {doc_hash}, doc_id
+           ) AS cum
+    FROM s5 JOIN alloc a USING (source)
+  ) WHERE cum <= alloc_tokens
 )
 SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
        CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM d
@@ -530,6 +625,10 @@ UNION ALL
 SELECT 3, 'lsh_dedup', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s3
 UNION ALL
 SELECT 4, 'domain_cap', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s4
+UNION ALL
+SELECT 5, 'dsir_select', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s5
+UNION ALL
+SELECT 6, 'token_budget', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s6
 """.strip()
 
 

@@ -15,16 +15,24 @@ def test_funnel_stages_monotonic(spark):
     from sfdc_cdc_aws_spark.operators.curation2 import curation_funnel_report
     from sfdc_cdc_aws_spark.sources import load_table
 
+    from sfdc_cdc_aws_spark.operators.curation2 import FUNNEL_TOKEN_BUDGET
+
     rows = {
         r.stage: r for r in curation_funnel_report(spark, SF).collect()
     }
-    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5, 6]
     raw = load_table(spark, SF, "documents").count()
     assert rows[0].n_docs == raw
-    for s in range(1, 5):
+    for s in range(1, 7):
         assert rows[s].n_docs <= rows[s - 1].n_docs, s
         assert rows[s].n_tokens <= rows[s - 1].n_tokens, s
-    assert rows[4].n_docs < rows[0].n_docs
+    assert rows[6].n_docs < rows[0].n_docs
+    # every stage must actually drop something at this fixture —
+    # a stage nothing hits verifies nothing (dsir_select and
+    # token_budget were added round 10; the budget must BIND)
+    for s in (1, 2, 4, 5, 6):
+        assert rows[s].n_docs < rows[s - 1].n_docs, s
+    assert 0 < rows[6].n_tokens <= FUNNEL_TOKEN_BUDGET
 
 
 def test_domain_cap_kept_counts(spark):

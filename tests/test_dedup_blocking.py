@@ -287,3 +287,60 @@ def test_ensemble_vote_consistency(spark):
         assert methods == sorted(methods)
         if "minhash" in methods:
             assert (r["doc_a"], r["doc_b"]) in mh
+
+
+def test_line_dedup_rewrites_docs_with_injected_boilerplate(spark, tmp_path):
+    """line_dedup_corpus on a hand-built corpus: a 4-token nav-bar
+    "line" shared by three docs must be dropped from ALL of them
+    (including the first — the C4 convention), unique lines survive,
+    and new_text_hash must equal the shared 64-bit hash of the
+    expected rewritten text."""
+    from sfdc_cdc_aws_spark.operators.chunking import (
+        LINE_TOKENS,
+        line_dedup_corpus,
+    )
+
+    assert LINE_TOKENS == 4, "fixture lines are built 4 tokens wide"
+    nav = "home about products contact"  # one exact 4-token line
+    texts = [
+        f"{nav} alpha body words here",       # lines: nav | alpha...
+        f"{nav} beta content words here",     # lines: nav | beta...
+        f"{nav} gamma filler words here",     # lines: nav | gamma...
+        "delta unique text rows only four",   # no shared line
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(texts), type=pa.string()),
+            "source": pa.array(["fixture"] * len(texts), type=pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rows = {r.doc_id: r for r in line_dedup_corpus(spark, str(tmp_path)).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    from pyspark.sql import functions as F
+
+    def h64(s: str) -> int:
+        return (
+            spark.range(1)
+            .select(
+                F.conv(F.substring(F.md5(F.lit(s)), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("h")
+            )
+            .collect()[0].h
+        )
+
+    for did, kept_text in ((0, "alpha body words here"),
+                           (1, "beta content words here"),
+                           (2, "gamma filler words here")):
+        r = rows[did]
+        assert (r.n_lines, r.n_dropped, r.n_kept) == (2, 1, 1), r
+        assert r.new_text_hash == h64(kept_text), did
+    r3 = rows[3]
+    # 6 tokens -> two lines (4 + 2), nothing shared, text survives whole
+    assert (r3.n_lines, r3.n_dropped, r3.n_kept) == (2, 0, 2)
+    assert r3.new_text_hash == h64("delta unique text rows only four")

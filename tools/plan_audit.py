@@ -65,6 +65,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "rfm_segmentation": "three ntile windows over the per-USER aggregate — the documented cardinality cliff (users << purchase events)",
         "tpch_q15_top_supplier": "max over the per-supplier revenue view — |suppliers| rows after aggregation (the TPC-H view-then-max shape)",
         "hybrid_search_rrf": "rank row_numbers over the per-leg fusion pools — each leg is TakeOrderedAndProject-cut to FUSE_POOL=100 rows BEFORE the window, so the single partition holds <=100 rows at any corpus size",
+        "curation_funnel_report": "the round-10 token_budget stage composes token_budget_allocation's largest-remainder windows over the |sources|-row aggregate — the same metadata-relation class as that key's own entry",
     },
     "bnlj": {
         "ann_ivf_topk": "build side = N_QUERIES x N_PROBE probed-centroid pairs — constants of the query, not the corpus",
@@ -94,6 +95,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "tpch_q11_important_stock": "value-share threshold scalar — one row (the spec's correlated scalar subquery)",
         "tpch_q22_dormant_customers": "average-balance scalar — one row (the spec's scalar subquery)",
         "wau_mau_stickiness": "max-week clip scalar — one row (the MAU window itself is a narrow explode, rewritten off a range join after this sweep flagged it)",
+        "curation_funnel_report": "the round-10 dsir_select stage composes dsir_importance_weights' corpus-total scalars (r_total, t_total) — one-row build sides, the same class as that key's own entry",
     },
     "cartesian": {},
 }
