@@ -57,6 +57,20 @@ ID_STRIDE = 10_000_000
 USER_STRIDE = 2_000_000  # > the +1M twin-uid branch of CHANGES_CTE
 _WS = re.compile(r"\s+")
 
+# Parquet row-group granularity BOUNDS scan parallelism: Spark splits
+# a file into byte ranges, but all rows of a row group land in the
+# one split holding the group's start offset. pq.write_table's
+# default (1M rows/group) wrote every derived fixture as a SINGLE
+# row group, so every x10/x100 scan ran on ONE core — a straggler
+# that inflated every decade ratio (found round 10 while profiling
+# dsir_importance_weights at x100: 13 of its 14 scan tasks were
+# empty). ~64 groups per table keeps even the 32-thread local runner
+# fully fed; at 100 TB the same rule is "size row groups well below
+# maxPartitionBytes".
+def write_scaled(table: pa.Table, path: str) -> None:
+    rg = max(4096, table.num_rows // 64)
+    pq.write_table(table, path, row_group_size=rg)
+
 
 def derive_documents(base_dir: str, k: int) -> pd.DataFrame:
     src = pq.read_table(os.path.join(base_dir, "documents.parquet")).to_pandas()
@@ -142,7 +156,7 @@ def derive_tpch(base_dir: str, out: str, k: int) -> dict[str, int]:
                 rep[col] = rep[col] + r * stride
             reps.append(rep)
         out_df = pd.concat(reps, ignore_index=True)
-        pq.write_table(
+        write_scaled(
             pa.Table.from_pandas(out_df, schema=t.schema, preserve_index=False),
             os.path.join(out, f"{name}.parquet"),
         )
@@ -171,14 +185,14 @@ def main() -> None:
     doc_schema = pq.read_table(
         os.path.join(args.base, "documents.parquet")
     ).schema
-    pq.write_table(
+    write_scaled(
         pa.Table.from_pandas(docs, schema=doc_schema, preserve_index=False),
         os.path.join(out, "documents.parquet"),
     )
     emb = derive_embeddings(args.base, args.k)
-    pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+    write_scaled(emb, os.path.join(out, "embeddings.parquet"))
     ev = derive_events(args.base, args.k)
-    pq.write_table(ev, os.path.join(out, "events.parquet"))
+    write_scaled(ev, os.path.join(out, "events.parquet"))
 
     linked = ["region", "nation"]
     if args.tpch:
