@@ -355,6 +355,9 @@ def ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_PAIR_SALT = 16  # sub-blocks per cell in the pair join (see docstring)
+
+
 @query(
     "embedding_neardup",
     oracle=f"""
@@ -371,25 +374,47 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only intra-cell pairs are ever scored (Σ cell² work instead of
     n²/2). Misses cross-cell near-dups by construction — the recall/
     cost dial is N_CENTROIDS; multi-assignment (nprobe>1 on the index
-    side) would trade compute for recall."""
+    side) would trade compute for recall.
+
+    Pair-join parallelism (round 10): joining on the bare cell id
+    caps the pair stage at N_CENTROIDS={N_CENTROIDS} tasks — at the
+    ×100 fixture (200k vectors, 12.5k per cell) that serialized 1.25B
+    cosine evaluations onto 16 cores. The probe side is therefore
+    salt-split: the build side carries its sub-block (vec_id %
+    {EMB_PAIR_SALT}), the probe side explodes across all
+    {EMB_PAIR_SALT} sub-blocks, and the join keys on (cell, block) —
+    {EMB_PAIR_SALT}× the key cardinality, the SAME result set (every
+    intra-cell ordered pair is still produced exactly once), the same
+    total cosine work, spread over N_CENTROIDS×{EMB_PAIR_SALT} tasks.
+    The same salt-split discipline as the over-cap LSH buckets
+    (operators/dedup.py)."""
     assign = ensure_ivf_index(spark, sf_dir)
     a = assign.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
         F.col("cent_id").alias("cell"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(EMB_PAIR_SALT - 1))
+        ).alias("jb"),
     )
     b = assign.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
         F.col("cent_id").alias("cell_b"),
+        (F.col("vec_id") % EMB_PAIR_SALT).alias("blk_b"),
     )
     cos = cosine_prenorm(
         F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
     )
     return (
-        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("jb") == F.col("blk_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .where(cos >= NEARDUP_COS)
         .select("vec_a", "vec_b", "cell", cos.alias("cos_sim"))
     )

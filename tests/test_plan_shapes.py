@@ -675,3 +675,17 @@ def test_replay_gap_report_counts_islands_without_a_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in join_kinds(df)
     assert has_partial_aggregate(df)
+
+
+def test_line_dedup_prunes_scan_and_avoids_cartesian(spark):
+    """line_dedup_corpus (round 10): the documents scan must read only
+    (doc_id, text) — no metadata columns ride the explode — and the
+    boilerplate back-join must stay a hash join on the line hash,
+    never a cartesian."""
+    df = _df(spark, "line_dedup_corpus")
+    schemas = read_schemas(df)
+    assert schemas, "expected a parquet scan with ReadSchema"
+    assert all("text" in s for s in schemas)
+    assert all("lang" not in s and "source" not in s for s in schemas)
+    assert "CartesianProduct" not in join_kinds(df)
+    assert "BroadcastNestedLoopJoin" not in join_kinds(df)

@@ -133,24 +133,39 @@ def test_full_registry_scale_lane_artifact():
 
 
 def test_scale100_lane_artifact():
-    """BENCH_SCALE100.json (round 9): the flagship LLM-pipeline subset
-    must hold TWO decades up — every key sublinear-or-near-linear per
-    decade, every oracle-eligible key MATCH (or MATCH_TOL with the
-    recorded ≤2e-6 last-digit drift and a handful of rows) at 500k
-    docs / 50k vectors."""
+    """BENCH_SCALE100.json (round 9, extended round 10 to the
+    scale-killer family): every key must carry an x100 VERDICT —
+    full oracle MATCH, MATCH_TOL with the recorded ≤2e-6 last-digit
+    drift, an exact cross-engine CHECKSUM match for the 26.9M-pair
+    keys, or the INVARIANTS proof (with written oracle exemption)
+    for the iterative CC key — and every decade ratio beyond the
+    lane's superlinear bar must carry an in-artifact explanation
+    (pair-space keys legitimately track output size, which grows
+    with family² density by fixture construction)."""
     path = os.path.join(REPO, "BENCH_SCALE100.json")
     with open(path) as f:
         rep = json.load(f)
-    assert len(rep["keys"]) >= 15
+    assert len(rep["keys"]) >= 20
+    assert rep["superlinear_unexplained"] == [], rep["superlinear_unexplained"]
+    for key, sl in rep["superlinear"].items():
+        assert sl.get("explanation"), key
+    bar = rep["superlinear_bar"]
     for key, row in rep["keys"].items():
         verdict = str(row.get("oracle_at_100x", "MATCH"))
-        assert verdict.startswith("MATCH"), (key, verdict)
+        assert verdict.startswith(
+            ("MATCH", "INVARIANTS_OK", "EXEMPT(MATCH")
+        ), (key, verdict)
+        if verdict.startswith(("INVARIANTS_OK", "EXEMPT(")):
+            assert row.get("oracle_exemption"), key
         if verdict.startswith("MATCH_TOL"):
             assert row["max_abs_diff"] <= 2e-6, (key, row)
             assert row["rows_beyond_exact"] <= 10, (key, row)
-        # each decade at most ~linear (x12 grace for fixture-driven
-        # feature-density growth: the 100x replicas are GRADED
-        # near-duplicates, so text keys see slightly more distinct
-        # features per decade than pure replication would give)
-        assert row["decade1_ratio"] <= 12.0, (key, row)
-        assert row["decade2_ratio"] <= 12.0, (key, row)
+        for d in ("decade1_ratio", "decade2_ratio"):
+            assert row[d] <= bar or key in rep["superlinear"], (key, row)
+    # the budget-binding proof the round-9 verdict asked for: the
+    # edit-distance verify budget must BIND at x10/x100 while its
+    # x100 wall stays bounded (the Levenshtein kernel is flat at
+    # EDIT_VERIFY_BUDGET pairs; only the candidate scan grows)
+    ed = rep["keys"]["editdist_verify_neardup"]
+    assert ed["x10_budget_binding"] and ed["x100_budget_binding"], ed
+    assert ed["x100_candidates"] > ed["x10_candidates"], ed

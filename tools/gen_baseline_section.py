@@ -258,6 +258,16 @@ def build() -> str:
                 f"(exactly-once {b['exactly_once']}) — state tracks the "
                 "retention window's density, never history length.",
             ]
+            c = bs.get("sf2")
+            if c:
+                lines += [
+                    f"At ×100 (10M-change feed): {c['max_state_rows']} "
+                    f"rows = {c['state_over_feed']} of "
+                    f"{c['feed_changes']} (exactly-once "
+                    f"{c['exactly_once']}, {c['batches']} batches) — "
+                    "the state/feed ratio is flat across all three "
+                    "decades.",
+                ]
         d1, d0 = stream.get("drain_split_sf1x"), stream.get("drain_split_sf01")
         if d1 and d0:
             lines += [
@@ -326,10 +336,14 @@ def build() -> str:
     if scale100:
         lines += [
             "",
-            "**Two decades up (BENCH_SCALE100.json, round 9 — the "
-            "LLM-pipeline flagship subset at ×1 / ×10 / ×100 documents "
-            "+ embeddings, 500k docs / 50k vectors, lineage truncation "
-            "routed to the reliable on-disk checkpoint):**",
+            "**Two decades up (BENCH_SCALE100.json, round 9, extended "
+            "round 10 to the scale-killer family — ×1 / ×10 / ×100 "
+            "documents + embeddings + events: 500k docs / 200k vectors "
+            "/ 10M changes, lineage truncation routed to the reliable "
+            "on-disk checkpoint). Round 10 also fixed the fixtures' "
+            "parquet layout (single-row-group files serialized every "
+            "scan onto one core — see PLANS.md appendix), so decade "
+            "ratios are NOT comparable to the round-9 artifact:**",
             "",
             "| Key | ×1 s | ×10 s | ×100 s | decade 1 | decade 2 | oracle at ×100 |",
             "|---|---|---|---|---|---|---|",
@@ -347,17 +361,44 @@ def build() -> str:
                 f"| {r['decade1_ratio']}× | {r['decade2_ratio']}× "
                 f"| {verdict} |"
             )
+        ed = scale100["keys"].get("editdist_verify_neardup", {})
+        sl = scale100.get("superlinear", {})
         lines += [
             "",
-            "`minhash_lsh_dedup` emits 26.9M candidate pairs at ×100 "
-            "(graded near-dup families of 100) in 10.4 s — the "
-            "salt-split bucket machinery paying exactly the "
-            "irreducible Σ bucket² and nothing more. MATCH_TOL rows "
-            "are the cross-engine libm ln() 1-ulp reality hitting the "
-            "6th-decimal rounding boundary on a handful of 500k rows; "
-            "both keys are exact-hash-verified at ×1/×10 and in "
-            "PARITY_SF01.",
+            "Verification tiers: MATCH = full DuckDB hash-compare at "
+            "×100; MATCH_TOL = the cross-engine libm ln() 1-ulp "
+            "reality hitting the 6th-decimal rounding boundary on a "
+            "handful of 500k rows (exact-hash-verified at ×1/×10 and "
+            "in PARITY_SF01); MATCH_CHECKSUM = both engines reduce "
+            "the same relation to (row count, bit_xor of a 60-bit md5 "
+            "row hash) — exact, no 26.9M-row dump; INVARIANTS_OK = "
+            "the CC labels proven against the checksum-verified pair "
+            "relation (edge consistency, min-label, node cover) with "
+            "the recursive-oracle exemption written in the artifact.",
         ]
+        if ed:
+            lines += [
+                "",
+                f"Budget-binding proof: `editdist_verify_neardup` sees "
+                f"{ed.get('x1_candidates')} candidates at ×1, "
+                f"{ed.get('x10_candidates')} at ×10, "
+                f"{ed.get('x100_candidates')} at ×100 — the "
+                f"EDIT_VERIFY_BUDGET cap binds at ×10/×100 "
+                f"({ed.get('x10_budget_binding')}/"
+                f"{ed.get('x100_budget_binding')}) while the "
+                "Levenshtein kernel stays flat at 20,000 pairs.",
+            ]
+        if sl:
+            lines += [
+                "",
+                "Superlinear decades, each explained in the artifact "
+                "(`superlinear_unexplained` is empty, test-pinned): "
+                + ", ".join(
+                    f"`{k}` ({', '.join(f'{d}={v}×' for d, v in s.items() if d != 'explanation')})"
+                    for k, s in sorted(sl.items())
+                )
+                + ".",
+            ]
     lines.append(END)
     return "\n".join(lines) + "\n"
 
