@@ -20,6 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# Exact-substring dedup spans reuse curation.SPAN_K so
+# dup_span_coverage (the measure) and exact_substring_dedup (the
+# rewrite) agree on what "duplicated" means.
+from sfdc_cdc_aws_spark.operators.curation import SPAN_K as EXSUB_K
 from sfdc_cdc_aws_spark.operators.text import (
     DUCK_HASH64,
     _DUCK_TOKENS,
@@ -327,4 +331,150 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.groupBy("doc_id").agg(
         F.count("*").alias("n_fps"),
         F.bit_xor("fp").alias("fp_xor"),
+    )
+
+
+# (doc_id, pos) packed into one BIGINT for canonical-occurrence
+# election; token positions are « 1e6 at every shipped SF, doc_ids
+# top out near 1e9 at the x100 fixture, so the key stays < 2^63.
+_POS_STRIDE = 1_000_000
+
+
+@query(
+    "exact_substring_dedup",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+base AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) >= 1),
+sp AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         {DUCK_HASH64.format(
+             expr="list_aggregate(tk[i:i+" + str(EXSUB_K - 1) + "], 'string_agg', ' ')"
+         )} AS h
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - {EXSUB_K - 1})) AS i
+        FROM base WHERE n >= {EXSUB_K})
+),
+dup AS (
+  SELECT h, min(doc_id * {_POS_STRIDE} + pos) AS keep_key
+  FROM sp GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS idx FROM (
+    SELECT sp.doc_id,
+           unnest(generate_series(sp.pos, sp.pos + {EXSUB_K - 1})) AS j
+    FROM sp JOIN dup USING (h)
+    WHERE sp.doc_id * {_POS_STRIDE} + sp.pos <> dup.keep_key)
+),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx, tk[CAST(i AS INT)] AS tok
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        FROM base)
+),
+kept AS (
+  SELECT tok.doc_id, tok.idx, tok.tok
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+  WHERE cov.idx IS NULL
+)
+SELECT base.doc_id,
+       base.n AS n_tokens,
+       CAST(base.n - count(kept.idx) AS BIGINT) AS n_removed,
+       CAST(count(kept.idx) AS BIGINT) AS n_kept,
+       {DUCK_HASH64.format(
+           expr="coalesce(string_agg(kept.tok, ' ' ORDER BY kept.idx), '')"
+       )} AS new_text_hash
+FROM base LEFT JOIN kept ON base.doc_id = kept.doc_id
+GROUP BY base.doc_id, base.n
+""",
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup that REWRITES (Lee et al., ACL 2022):
+    every {EXSUB_K}-token sliding span occurring in ≥2 distinct
+    documents is duplicated text; all its occurrences except the
+    globally-first (min packed (doc_id, pos) key — the paper keeps
+    exactly one copy) have their token positions removed, and each
+    document is rewritten from the surviving tokens in order. The
+    detect→act closure of ``dup_span_coverage`` (which measures span
+    duplication but leaves the text alone), at span rather than
+    line granularity — overlapping duplicated spans merge through
+    the position-set union, so removal is maximal-run, not
+    per-span.
+
+    Plan: spans leave the tokenizer as narrow (doc_id, pos, hash)
+    rows; the duplicated head is a hash-keyed aggregate whose HAVING
+    drops the long unique tail at the reducer, so the cov join's
+    build side is the boilerplate head only (broadcastable at any
+    scale — AQE handles it here). Coverage explodes ONLY duplicated
+    occurrences ({EXSUB_K}× a small relation, never the corpus);
+    the token stream shuffles once on (doc_id, idx) for the
+    anti-join and once on doc_id for reassembly — both rows of
+    ≤~32 bytes. Nothing iterative, nothing collected."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens_col().alias("t")).where(
+        F.size("t") >= 1
+    )
+    spans = (
+        base.where(F.size("t") >= EXSUB_K)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - (EXSUB_K - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            shared_hash64(
+                F.array_join(F.slice("t", F.col("pos"), EXSUB_K), " ")
+            ).alias("h"),
+        )
+    )
+    key = F.col("doc_id") * _POS_STRIDE + F.col("pos")
+    dup = (
+        spans.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min(key).alias("keep_key"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("h", "keep_key")
+    )
+    cov = (
+        spans.join(dup, "h")
+        .where(key != F.col("keep_key"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (EXSUB_K - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    tok = base.select(
+        "doc_id", F.posexplode("t").alias("i", "tok")
+    ).select("doc_id", (F.col("i") + 1).cast("long").alias("idx"), "tok")
+    kept_agg = (
+        tok.join(cov, ["doc_id", "idx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sort_array(F.collect_list(F.struct("idx", "tok"))).alias("ks"),
+        )
+    )
+    new_text = F.array_join(F.transform("ks", lambda s: s.tok), " ")
+    return (
+        base.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            shared_hash64(F.coalesce(new_text, F.lit(""))).alias(
+                "new_text_hash"
+            ),
+        )
     )

@@ -214,3 +214,121 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("lvl") == 0).cast("long")).alias("n_hit0"),
         F.round(F.sum("c").cast("double"), 6).alias("lm_score"),
     )
+
+
+# CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+# High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+# per-language head/middle/tail terciles by LM fluency; head+middle
+# kept. The fluency statistic is the mean seed-bigram frequency —
+# a rank-equivalent fluency proxy whose value is ONE double division
+# of identical integer aggregates, so the per-language ordering (and
+# therefore every tercile boundary) is bit-identical across engines,
+# which a summed-float perplexity cannot guarantee.
+CCNET_BUCKETS = 3
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, doc_id % {SB_SEED_MOD} < {SB_SEED_LT} AS seed,
+         {_DUCK_TOKENS} AS tk
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, lang, seed,
+         tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2
+  FROM t, unnest(range(1, greatest(len(tk), 1))) AS u(i)
+),
+model AS (SELECT w1, w2, count(*) AS n FROM bi WHERE seed GROUP BY w1, w2),
+scored AS (
+  SELECT bi.doc_id, bi.lang,
+         count(*) AS n_bi,
+         CAST(sum(coalesce(model.n, 0)) AS BIGINT) AS hit_sum
+  FROM bi LEFT JOIN model USING (w1, w2)
+  WHERE NOT bi.seed
+  GROUP BY bi.doc_id, bi.lang
+),
+b AS (
+  SELECT doc_id, lang, n_bi, hit_sum,
+         hit_sum / CAST(n_bi AS DOUBLE) AS fl,
+         CAST(ntile({CCNET_BUCKETS}) OVER (
+           PARTITION BY lang
+           ORDER BY hit_sum / CAST(n_bi AS DOUBLE) DESC, doc_id
+         ) AS INT) AS bucket
+  FROM scored
+)
+SELECT doc_id, lang, n_bi, hit_sum,
+       round(fl, 6) AS fluency, bucket,
+       bucket <= {CCNET_BUCKETS - 1} AS keep
+FROM b
+""",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing: train a bigram frequency
+    model on the seed slice (doc_id % {SB_SEED_MOD} < {SB_SEED_LT} —
+    CCNet's Wikipedia stand-in), score every holdout document by mean
+    seed-bigram frequency, and split each LANGUAGE into
+    {CCNET_BUCKETS} equal terciles of descending fluency (ntile over
+    the per-lang ordering, doc_id tie-break); head+middle are kept,
+    the tail is the low-quality cut — CCNet's per-language
+    perplexity-tercile recipe with an exactly-ranking statistic.
+    Documents with <2 tokens have no bigrams and are not scored.
+
+    Plan: the bigram stream explodes once; the model is a map-side
+    combinable count keyed on the bigram; scoring is one LEFT join
+    on the bigram key + one per-(doc, lang) combinable sum. The only
+    non-combinable step is the per-language ntile — a single window
+    whose partition key is `lang` (≤ dozens of languages); at 100 TB
+    that window is the known skew point, and the production dial is
+    the same one CCNet uses: compute per-lang score QUANTILES on a
+    sample (quantile_bucketize's pattern) and broadcast the two cut
+    points instead of ranking every row — kept exact here because
+    the oracle must rank identically."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % SB_SEED_MOD < SB_SEED_LT).alias("seed"),
+        tokens_col().alias("tk"),
+    )
+    ln = F.greatest(F.size("tk") - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice("tk", 1, ln).alias("w1"), F.slice("tk", 2, ln).alias("w2")
+    )
+    bi = d.select(
+        "doc_id", "lang", "seed", F.explode(z).alias("g")
+    ).select(
+        "doc_id",
+        "lang",
+        "seed",
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+    )
+    model = bi.where("seed").groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    scored = (
+        bi.where(~F.col("seed"))
+        .join(model, ["w1", "w2"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bi"),
+            F.sum(F.coalesce("n", F.lit(0))).alias("hit_sum"),
+        )
+    )
+    fl = F.col("hit_sum") / F.col("n_bi").cast("double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        fl.desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("bucket", F.ntile(CCNET_BUCKETS).over(w).cast("int"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_bi",
+            "hit_sum",
+            F.round(fl, 6).alias("fluency"),
+            "bucket",
+            (F.col("bucket") <= CCNET_BUCKETS - 1).alias("keep"),
+        )
+    )

@@ -80,3 +80,30 @@ def test_pca_residual_orthogonality_invariants(spark):
     for r in rows:
         assert -1e-6 <= r.var_removed <= 1.0 + 1e-6, r
         assert r.res_norm >= 0, r
+
+
+def test_ccnet_buckets_are_even_terciles_per_lang(spark):
+    """Per language: tercile sizes differ by at most one (ntile
+    contract), keep == (bucket <= 2), fluent docs rank strictly
+    ahead of less-fluent ones (bucket-1 min fluency >= bucket-3 max),
+    and seed docs never appear."""
+    from sfdc_cdc_aws_spark.operators.lm import (
+        SB_SEED_LT,
+        SB_SEED_MOD,
+        ccnet_perplexity_buckets,
+    )
+
+    rows = ccnet_perplexity_buckets(spark, SF).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert r.doc_id % SB_SEED_MOD >= SB_SEED_LT, "seed doc scored"
+        assert r.keep == (r.bucket <= 2), r
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = [sum(1 for r in rs if r.bucket == b) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        head = [r.fluency for r in rs if r.bucket == 1]
+        tail = [r.fluency for r in rs if r.bucket == 3]
+        if head and tail:
+            assert min(head) >= max(tail), lang

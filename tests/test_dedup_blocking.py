@@ -344,3 +344,65 @@ def test_line_dedup_rewrites_docs_with_injected_boilerplate(spark, tmp_path):
     # 6 tokens -> two lines (4 + 2), nothing shared, text survives whole
     assert (r3.n_lines, r3.n_dropped, r3.n_kept) == (2, 0, 2)
     assert r3.new_text_hash == h64("delta unique text rows only four")
+
+
+def test_exact_substring_dedup_keeps_first_occurrence(spark, tmp_path):
+    """exact_substring_dedup on a hand-built corpus: an 8-token run
+    shared by three docs must survive ONLY in the lowest-(doc_id,pos)
+    occurrence (Lee et al.'s keep-one convention — unlike
+    line_dedup_corpus, which drops boilerplate everywhere); the other
+    docs are rewritten without it, and new_text_hash must equal the
+    shared 64-bit hash of the expected rewritten text."""
+    from sfdc_cdc_aws_spark.operators.chunking import (
+        EXSUB_K,
+        exact_substring_dedup,
+    )
+
+    assert EXSUB_K == 8, "fixture spans are built 8 tokens wide"
+    run = "one two three four five six seven eight"  # 8 tokens
+    texts = [
+        f"{run} alpha tail",          # canonical: doc 0 pos 1
+        f"lead {run} beta tail",      # span at pos 2 -> removed
+        f"{run}",                     # exactly the span -> emptied
+        "unique nine ten eleven twelve thirteen fourteen fifteen",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(texts), type=pa.string()),
+            "source": pa.array(["fixture"] * len(texts), type=pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    from pyspark.sql import functions as F
+
+    def h64(s: str) -> int:
+        return (
+            spark.range(1)
+            .select(
+                F.conv(F.substring(F.md5(F.lit(s)), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("h")
+            )
+            .collect()[0].h
+        )
+
+    rows = {
+        r.doc_id: r
+        for r in exact_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3]
+    r0 = rows[0]  # canonical occurrence: nothing removed
+    assert (r0.n_tokens, r0.n_removed, r0.n_kept) == (10, 0, 10), r0
+    assert r0.new_text_hash == h64(f"{run} alpha tail")
+    r1 = rows[1]  # span excised, surrounding tokens survive
+    assert (r1.n_tokens, r1.n_removed, r1.n_kept) == (11, 8, 3), r1
+    assert r1.new_text_hash == h64("lead beta tail")
+    r2 = rows[2]  # doc that IS the span: rewritten to empty
+    assert (r2.n_tokens, r2.n_removed, r2.n_kept) == (8, 8, 0), r2
+    assert r2.new_text_hash == h64("")
+    r3 = rows[3]  # no shared span: untouched
+    assert (r3.n_removed, r3.n_kept) == (0, 8), r3
