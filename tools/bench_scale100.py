@@ -73,6 +73,14 @@ ORACLE_KEYS = (
     "curation_funnel_report",
     "editdist_verify_neardup",
     "ann_ivf_pq_topk",
+    # round-10 rewrite/selection layer: the boilerplate-removal
+    # rewriters reassemble EVERY document from surviving parts (the
+    # corpus-size string_agg is the x100 risk on both engines), and
+    # the tercile bucketing ranks every holdout doc inside one
+    # per-language window
+    "exact_substring_dedup",
+    "line_dedup_corpus",
+    "ccnet_perplexity_buckets",
 )
 
 # verified at 100x by exact (row count, bit_xor of 60-bit md5 row
@@ -285,6 +293,10 @@ FLOAT_COLS = {
     "stupid_backoff_score": ("doc_id", "lm_score"),
     "bm25_score": ("doc_id", "bm25"),
     "nb_token_classifier": ("doc_id", "score"),
+    # fluency is round(hit_sum/n_bi, 6): the division is bit-identical
+    # across engines, but the 6th-decimal HALF_UP boundary can differ
+    # by the display-rounding ulp on a 500k-row column
+    "ccnet_perplexity_buckets": ("doc_id", "fluency"),
 }
 
 
