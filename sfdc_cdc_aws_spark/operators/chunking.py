@@ -334,10 +334,10 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (doc_id, pos) packed into one BIGINT for canonical-occurrence
-# election; token positions are « 1e6 at every shipped SF, doc_ids
-# top out near 1e9 at the x100 fixture, so the key stays < 2^63.
-_POS_STRIDE = 1_000_000
+# Canonical-occurrence election uses min over a (doc_id, pos) STRUCT
+# (lexicographic struct comparison — identical semantics in Spark and
+# DuckDB), not a packed bigint: packing would silently collide across
+# doc boundaries the day a document exceeds the stride.
 
 
 @query(
@@ -355,7 +355,7 @@ sp AS (
         FROM base WHERE n >= {EXSUB_K})
 ),
 dup AS (
-  SELECT h, min(doc_id * {_POS_STRIDE} + pos) AS keep_key
+  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS keep
   FROM sp GROUP BY h
   HAVING count(DISTINCT doc_id) >= 2
 ),
@@ -364,7 +364,7 @@ cov AS (
     SELECT sp.doc_id,
            unnest(generate_series(sp.pos, sp.pos + {EXSUB_K - 1})) AS j
     FROM sp JOIN dup USING (h)
-    WHERE sp.doc_id * {_POS_STRIDE} + sp.pos <> dup.keep_key)
+    WHERE NOT (sp.doc_id = (dup.keep).d AND sp.pos = (dup.keep).p))
 ),
 tok AS (
   SELECT doc_id, CAST(i AS BIGINT) AS idx, tk[CAST(i AS INT)] AS tok
@@ -391,8 +391,9 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup that REWRITES (Lee et al., ACL 2022):
     every {EXSUB_K}-token sliding span occurring in ≥2 distinct
     documents is duplicated text; all its occurrences except the
-    globally-first (min packed (doc_id, pos) key — the paper keeps
-    exactly one copy) have their token positions removed, and each
+    globally-first (lexicographic min over a (doc_id, pos) struct —
+    the paper keeps exactly one copy) have their token positions
+    removed, and each
     document is rewritten from the surviving tokens in order. The
     detect→act closure of ``dup_span_coverage`` (which measures span
     duplication but leaves the text alone), at span rather than
@@ -430,19 +431,23 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    key = F.col("doc_id") * _POS_STRIDE + F.col("pos")
     dup = (
         spans.groupBy("h")
         .agg(
             F.count_distinct("doc_id").alias("nd"),
-            F.min(key).alias("keep_key"),
+            F.min(F.struct("doc_id", "pos")).alias("keep"),
         )
         .where(F.col("nd") >= 2)
-        .select("h", "keep_key")
+        .select("h", "keep")
     )
     cov = (
         spans.join(dup, "h")
-        .where(key != F.col("keep_key"))
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("keep.doc_id"))
+                & (F.col("pos") == F.col("keep.pos"))
+            )
+        )
         .select(
             "doc_id",
             F.explode(

@@ -258,8 +258,7 @@ b AS (
          ) AS INT) AS bucket
   FROM scored
 )
-SELECT doc_id, lang, n_bi, hit_sum,
-       round(fl, 6) AS fluency, bucket,
+SELECT doc_id, lang, n_bi, hit_sum, bucket,
        bucket <= {CCNET_BUCKETS - 1} AS keep
 FROM b
 """,
@@ -274,6 +273,11 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tail is the low-quality cut — CCNet's per-language
     perplexity-tercile recipe with an exactly-ranking statistic.
     Documents with <2 tokens have no bigrams and are not scored.
+    The output carries the exact integer pair (hit_sum, n_bi) rather
+    than the rounded float quotient: the ntile ORDER BY uses the
+    division (bit-identical across engines), but a ROUNDED display
+    value can differ by one ulp at the HALF_UP boundary and would
+    poison the parity hash for no information gain.
 
     Plan: the bigram stream explodes once; the model is a map-side
     combinable count keyed on the bigram; scoring is one LEFT join
@@ -327,7 +331,6 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_bi",
             "hit_sum",
-            F.round(fl, 6).alias("fluency"),
             "bucket",
             (F.col("bucket") <= CCNET_BUCKETS - 1).alias("keep"),
         )

@@ -192,6 +192,11 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema("vec_id long, embedding array<float>")
         .option("maxFilesPerTrigger", 2)
         .parquet(landing)
+        # drop accounting (quality-gate discipline, uniform across the
+        # screen quartet): arriving vectors counted per micro-batch;
+        # run_available_now unions listener+progress metrics into
+        # LAST_DRAIN_OBSERVED["ann_ingest"].
+        .observe("arrivals", F.count(F.lit(1)).alias("n_in"))
         .select(
             F.col("vec_id").alias("new_vec"),
             "embedding",
@@ -219,5 +224,8 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= NEARDUP_COS)
+        # flagged near-dup pairs emitted per batch (append mode —
+        # every observed row is new, so the cross-batch sum is exact)
+        .observe("flagged", F.count(F.lit(1)).alias("n_pairs"))
     )
     return run_available_now(matches, "ann_ingest", output_mode="append")

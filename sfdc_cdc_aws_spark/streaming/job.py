@@ -237,6 +237,19 @@ def _capture_state_metrics(q, name_prefix: str) -> None:
         }
 
 
+#: observability: totals of every ``observe()`` riding the most
+#: recent drain per name_prefix, summed across micro-batches and
+#: flattened to "<observation>.<metric>" keys (plus n_batches).
+#: Harvested from BOTH a StreamingQueryListener and recentProgress,
+#: unioned by batchId: recentProgress retains only the last ~100
+#: entries (a longer drain silently undercounts), while the listener
+#: sees every batch but is dispatched asynchronously (tail batches
+#: may be undelivered when awaitTermination returns). The union is
+#: complete under both failure modes — the quality-gate discipline
+#: (quality_gate.py), applied uniformly to every drained screen.
+LAST_DRAIN_OBSERVED: dict[str, dict] = {}
+
+
 def run_available_now(
     stream_df: DataFrame,
     name_prefix: str,
@@ -257,12 +270,39 @@ def run_available_now(
     makes the number free to vary; pass None to keep the session
     setting (a long-lived production job with many keys wants the
     larger width)."""
+    import json as _json
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
     spark = stream_df.sparkSession
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = f"/tmp/sfdc_cdc_ckpt/{qname}"
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+
+    obs_by_batch: dict[int, dict] = {}
+
+    def _harvest(d: dict) -> None:
+        om = d.get("observedMetrics") or {}
+        if om and d.get("name") == qname:
+            obs_by_batch[d["batchId"]] = om
+
+    class _ObsListener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            _harvest(_json.loads(event.progress.json))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _ObsListener()
+    spark.streams.addListener(listener)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -274,16 +314,43 @@ def run_available_now(
         )
         q.awaitTermination()
         _capture_state_metrics(q, name_prefix)
+        for p in q.recentProgress:
+            _harvest(p if isinstance(p, dict) else _json.loads(p.json))
+        if obs_by_batch:
+            totals: dict[str, float] = {}
+            for om in obs_by_batch.values():
+                for oname, fields in om.items():
+                    # recentProgress dicts carry Row values; the
+                    # listener's JSON path carries plain dicts
+                    if hasattr(fields, "asDict"):
+                        fields = fields.asDict()
+                    for fname, v in fields.items():
+                        if isinstance(v, (int, float)):
+                            totals[f"{oname}.{fname}"] = (
+                                totals.get(f"{oname}.{fname}", 0) + v
+                            )
+            LAST_DRAIN_OBSERVED[name_prefix] = {
+                "n_batches": len(obs_by_batch),
+                **totals,
+            }
+        # detach the result from the memory sink so repeated drains
+        # don't accumulate sink state/views in the session:
+        # materialize once (eager localCheckpoint) before the finally
+        # drops the sink's temp view and checkpoint dir
+        result = spark.table(qname).localCheckpoint()
     finally:
+        # cleanup must run on the failure path too: a failed drain
+        # would otherwise leak the memory-sink temp view and the
+        # checkpoint directory (round-9 advice, generalized here from
+        # quality_gate so every drained screen gets the guarantee)
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    # detach the result from the memory sink so repeated drains don't
-    # accumulate sink state/views in the session: materialize once
-    # (eager localCheckpoint), then drop the sink's temp view and its
-    # checkpoint dir
-    result = spark.table(qname).localCheckpoint()
-    spark.catalog.dropTempView(qname)
-    shutil.rmtree(ckpt, ignore_errors=True)
+        spark.streams.removeListener(listener)
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
     return result
 
 

@@ -16,8 +16,6 @@ surface on the streaming lane.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -124,77 +122,26 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(tokens_col())).cast("bigint").alias("n_tokens"),
         )
     )
-    # drain with availableNow and harvest the observation PER BATCH,
-    # keyed by batchId, from BOTH a StreamingQueryListener and the
-    # query's recentProgress buffer. recentProgress alone retains only
-    # the last spark.sql.streaming.numRecentProgressUpdates (default
-    # 100) entries — a drain of >100 micro-batches would silently
-    # undercount; the listener sees every batch but is dispatched
-    # asynchronously, so the tail batches may not have been delivered
-    # when awaitTermination returns. The union by batchId is complete
-    # under both failure modes.
-    import json as _json
+    # drain via run_available_now, whose listener+recentProgress
+    # union (keyed by batchId — complete under both the >100-batch
+    # progress-buffer eviction and the async-listener tail) now
+    # harvests EVERY observe() uniformly into LAST_DRAIN_OBSERVED;
+    # this module keeps its LAST_GATE_METRICS contract as a view
+    # over that harvest.
+    from sfdc_cdc_aws_spark.streaming.job import (
+        LAST_DRAIN_OBSERVED,
+        run_available_now,
+    )
 
-    from pyspark.sql.streaming import StreamingQueryListener
-
-    qname = f"quality_gate_{uuid.uuid4().hex[:8]}"
-    ckpt = f"/tmp/sfdc_cdc_ckpt/{qname}"
-    by_batch: dict[int, tuple[int, int]] = {}
-
-    def _harvest(d: dict) -> None:
-        om = (d.get("observedMetrics") or {}).get("quality_gate")
-        if om and d.get("name") == qname:
-            by_batch[d["batchId"]] = (om["n_in"], om["n_pass"] or 0)
-
-    class _GateListener(StreamingQueryListener):
-        def onQueryStarted(self, event):
-            pass
-
-        def onQueryProgress(self, event):
-            _harvest(_json.loads(event.progress.json))
-
-        def onQueryIdle(self, event):
-            pass
-
-        def onQueryTerminated(self, event):
-            pass
-
-    listener = _GateListener()
-    spark.streams.addListener(listener)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    q = None
-    try:
-        q = (
-            gated.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        for p in q.recentProgress:
-            _harvest(p if isinstance(p, dict) else _json.loads(p.json))
-        n_in = sum(v[0] for v in by_batch.values())
-        n_pass = sum(v[1] for v in by_batch.values())
-        LAST_GATE_METRICS.clear()
-        LAST_GATE_METRICS.update(
-            n_in=n_in, n_pass=n_pass, n_dropped=n_in - n_pass,
-            n_batches=len(by_batch),
-        )
-        result = spark.table(qname).localCheckpoint()
-    finally:
-        # cleanup must run on the failure path too: a failed drain
-        # would otherwise leak the memory-sink temp view and the
-        # checkpoint directory (round-9 advice)
-        import shutil
-
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        spark.streams.removeListener(listener)
-        try:
-            spark.catalog.dropTempView(qname)
-        except Exception:
-            pass
-        shutil.rmtree(ckpt, ignore_errors=True)
+    result = run_available_now(gated, "quality_gate", output_mode="complete")
+    obs = LAST_DRAIN_OBSERVED.get("quality_gate", {})
+    n_in = int(obs.get("quality_gate.n_in", 0))
+    n_pass = int(obs.get("quality_gate.n_pass", 0))
+    LAST_GATE_METRICS.clear()
+    LAST_GATE_METRICS.update(
+        n_in=n_in,
+        n_pass=n_pass,
+        n_dropped=n_in - n_pass,
+        n_batches=int(obs.get("n_batches", 0)),
+    )
     return result

@@ -103,7 +103,7 @@ def test_ccnet_buckets_are_even_terciles_per_lang(spark):
     for lang, rs in by_lang.items():
         sizes = [sum(1 for r in rs if r.bucket == b) for b in (1, 2, 3)]
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
-        head = [r.fluency for r in rs if r.bucket == 1]
-        tail = [r.fluency for r in rs if r.bucket == 3]
+        head = [r.hit_sum / r.n_bi for r in rs if r.bucket == 1]
+        tail = [r.hit_sum / r.n_bi for r in rs if r.bucket == 3]
         if head and tail:
             assert min(head) >= max(tail), lang

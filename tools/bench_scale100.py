@@ -293,10 +293,6 @@ FLOAT_COLS = {
     "stupid_backoff_score": ("doc_id", "lm_score"),
     "bm25_score": ("doc_id", "bm25"),
     "nb_token_classifier": ("doc_id", "score"),
-    # fluency is round(hit_sum/n_bi, 6): the division is bit-identical
-    # across engines, but the 6th-decimal HALF_UP boundary can differ
-    # by the display-rounding ulp on a 500k-row column
-    "ccnet_perplexity_buckets": ("doc_id", "fluency"),
 }
 
 
