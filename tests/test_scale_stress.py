@@ -153,7 +153,7 @@ def test_scale100_lane_artifact():
     for key, row in rep["keys"].items():
         verdict = str(row.get("oracle_at_100x", "MATCH"))
         assert verdict.startswith(
-            ("MATCH", "INVARIANTS_OK", "EXEMPT(MATCH")
+            ("MATCH", "INVARIANTS_OK", "EXEMPT(MATCH", "ELECTION_ORACLE_OK")
         ), (key, verdict)
         if verdict.startswith(("INVARIANTS_OK", "EXEMPT(")):
             assert row.get("oracle_exemption"), key
