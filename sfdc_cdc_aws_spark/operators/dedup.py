@@ -544,6 +544,162 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AllPairs prefix filtering (exact set-similarity join)
+# ---------------------------------------------------------------------------
+
+# the near-duplicate bar for the prefix-filtered join — deliberately
+# the corpus's "true near-dup" threshold (LSH_EVAL_JACCARD), not
+# ngram_jaccard_dedup's permissive 0.01 audit floor: prefix length is
+# |d| - ceil(theta*|d|) + 1, so the filter only has teeth when theta
+# is a real similarity bar
+PREFIX_JACCARD_MIN = 0.5
+
+
+@query(
+    "allpairs_prefix_jaccard",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+             list_distinct(list_transform(generate_series(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS h
+  FROM toks WHERE len(t) >= 4
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b
+    ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       round(CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.doc_a = s1.doc_id
+JOIN sizes s2 ON i.doc_b = s2.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common)
+      >= {PREFIX_JACCARD_MIN}
+""",
+)
+def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-4-gram Jaccard >= {PREFIX_JACCARD_MIN} near-dup
+    pairs via AllPairs/PPJoin prefix filtering (Bayardo, Ma &
+    Srikant, WWW 2007; Xiao et al., WWW 2008) — the third blocking
+    strategy in this module, and the one that ELIMINATES hot-shingle
+    work instead of spreading it: salted_bucket_pairs caps and
+    salt-splits an over-wide posting list but still pays its
+    irreducible list**2 pair units; prefix filtering orders each
+    document's shingles by ascending global document frequency and
+    only indexes the first |d| - ceil(theta*|d|) + 1 of them, so the
+    corpus-wide boilerplate shingles (the exact tail that dominates
+    neardup_ensemble_vote's x100 wall) land at the END of every
+    ordering, fall outside every prefix, and never generate a
+    candidate at all.
+
+    Exactness is the prefix-filtering principle (PPJoin Lemma 1):
+    J(A,B) >= theta implies |A∩B| >= ceil(theta*|A|), and a pair
+    whose intersection is that large must collide inside both
+    (|d| - ceil(theta*|d|) + 1)-prefixes under any shared total
+    order — so the candidate set is a SUPERSET of the answer and the
+    per-candidate exact verify (array_intersect of the two sorted
+    hash arrays) makes the result identical to the uncapped
+    self-join, which is verbatim this key's oracle at the same
+    threshold.
+
+    Plan: one df aggregate (map-side combinable, |vocab| rows), one
+    per-doc row_number window over ~|d| shingle rows, the candidate
+    join on (lang, shingle) over PREFIX rows only, then the verify
+    join against the per-doc sorted hash arrays (docs are ~1e2
+    shingles; the arrays travel once per side). At 100 TB the df
+    relation is the same metadata-scale side input every inverted
+    index maintains, and candidate volume tracks true-similar pairs,
+    not posting-list squares."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", widen=True)
+    # materialize the narrow (doc, lang, shingle-hash) relation ONCE
+    # (8-byte hashes — ~n_docs*|d| rows): five consumers read it (df
+    # aggregate, ranked prefix, both candidate sides, both verify
+    # arrays), and without the checkpoint each re-runs the
+    # tokenize+md5 pipeline — measured 5x the whole key's wall at
+    # sf0.1 (the lsh_eval_pr discipline: audit inputs run once)
+    sh = (
+        d.where(F.size(tokens_col()) >= 4)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(_word_shingles(4), lambda g: shared_hash64(g))
+            ).alias("h"),
+        )
+        .localCheckpoint()
+    )
+    dfreq = sh.groupBy("lang", "h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = (
+        sh.join(dfreq, ["lang", "h"])
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix_len = F.col("n") - F.ceil(
+        F.lit(PREFIX_JACCARD_MIN) * F.col("n")
+    ) + 1
+    pref = ranked.where(F.col("rk") <= prefix_len).select(
+        "doc_id", "lang", "h"
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # verify arrays re-assembled from the SAME checkpointed relation
+    # (shingles are distinct per doc, so collect_list is the set)
+    arr = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count("*").alias("n"),
+    )
+    aa = arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("n_a"),
+    )
+    bb = arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = n_common.cast("double") / (
+        F.col("n_a") + F.col("n_b") - n_common
+    )
+    return (
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .where(jac >= PREFIX_JACCARD_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("bigint").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # duplicate clusters (connected components over the LSH pair graph)
 # ---------------------------------------------------------------------------
 

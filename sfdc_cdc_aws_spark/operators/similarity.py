@@ -514,11 +514,16 @@ def rhp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, code): buckets are Θ(n/2^RHP_BITS), so collecting a bucket
     into one row would hit Spark's 2^31 array limit long before
     100 TB — the join keeps Σ bucket² as many small rows, never one
-    giant one. The signature stage runs once per join side; that is
-    one cheap matmul per row, a deliberate trade against caching n×4
-    band rows. Recall comes from banding (a near-dup pair collides in
-    ≥1 of 4 bands w.h.p.); planes are md5-seeded 3-decimal literals so
-    the oracle replays bit-for-bit."""
+    giant one. The band relation is MATERIALIZED once
+    (localCheckpoint — 4 rows of 3 ints per vector, narrower than
+    the embeddings it came from) and both self-join sides read it:
+    recomputing the signature stage per side doubles the full
+    Python/Arrow roundtrip for no benefit, and at 100 TB the
+    materialized band relation is exactly the persisted LSH index
+    (ensure_band_index's shape). Recall comes from banding (a
+    near-dup pair collides in ≥1 of 4 bands w.h.p.); planes are
+    md5-seeded 3-decimal literals so the oracle replays
+    bit-for-bit."""
     import numpy as np
     import pandas as pd
 
@@ -545,7 +550,7 @@ def rhp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bands = e.select("vec_id", "embedding").mapInPandas(
         sign_bands, "vec_id long, band int, code int"
-    )
+    ).localCheckpoint()
     ba = bands.select(
         F.col("vec_id").alias("vec_a"), "band", "code"
     )

