@@ -17,6 +17,21 @@ from sfdc_cdc_aws_spark.session import get_session  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 SHOWCASE = {
+    "allpairs_prefix_jaccard": (
+        "AllPairs prefix filtering: the checkpointed shingle relation "
+        "scans once; df joins back broadcast-or-hash on (lang, h); the "
+        "candidate join touches PREFIX rows only (hot shingles fall "
+        "outside every prefix), and the verify stage joins candidate "
+        "pairs to per-doc sorted hash arrays with `array_intersect` in "
+        "codegen — no posting-list pair explosion anywhere."
+    ),
+    "minhash_index_merge": (
+        "incremental index maintenance as a partial-aggregate merge: "
+        "TWO parquet index scans (corpus + arrival delta — no document "
+        "text anywhere in the plan), map-side-partial bucket aggregates "
+        "on each, one exchange on (band_id, bucket), and the merge "
+        "re-aggregation (sum/bit_xor/min/max are all mergeable)."
+    ),
     "editdist_verify_neardup": (
         "the near-dup VERIFY stage: exact Levenshtein runs only on the "
         "LSH-bounded candidate pairs — two fetch-by-id joins bring the "
