@@ -142,16 +142,21 @@ def ensure_ivf_index(
     return spark.read.parquet(out)
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_assignments(
+    spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, label, embedding, cent_id): nearest-centroid cell per
     vector. Centroids broadcast; the argmax is a map-side ``max_by``
     aggregate keyed on (rounded cos, -cent_id), not a window — the
     corpus never sorts, and the shuffle carries one row per vector.
 
     The output keeps the per-vector norm (``nrm``) so downstream pair
-    scoring never recomputes it."""
+    scoring never recomputes it. ``vectors`` restricts which rows are
+    ASSIGNED (index maintenance scores the arrival batch only); the
+    quantizer always comes from the full table, so a delta assignment
+    lands in exactly the cells a from-scratch assignment would."""
     e = load_table(spark, sf_dir, "embeddings", widen=True)
-    en = e.select(
+    en = (vectors if vectors is not None else e).select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     cents = F.broadcast(

@@ -229,3 +229,92 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .observe("flagged", F.count(F.lit(1)).alias("n_pairs"))
     )
     return run_available_now(matches, "ann_ingest", output_mode="append")
+
+
+@query(
+    "ivf_index_merge",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {DUCK_COSINE.format(a='e.embedding', b='c.c_emb')} DESC,
+                      c.cent_id) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+)
+SELECT cent_id,
+       count(*) AS n_vecs,
+       bit_xor(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT)
+         AS member_xor,
+       min(vec_id) AS min_vec,
+       max(vec_id) AS max_vec
+FROM assign
+GROUP BY cent_id
+""",
+)
+def ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the IVF cell index — the vector
+    twin of minhash_index_merge (streaming/ingest_dedup.py): fold an
+    arrival batch's cell assignments into the MATERIALIZED index and
+    prove the merged index equals the from-scratch assignment over
+    ALL vectors. After stream_ann_ingest admits a batch, its vectors
+    must join the cells the next batch probes, or the ANN screen
+    goes stale exactly like the band index would.
+
+    MERGE(state, delta): the state partial aggregates the
+    materialized index parquet (ensure_ivf_index — the n×C cosine
+    scoring ran once at build; maintenance reads assignments, it
+    never re-scores the corpus), the delta scores ONLY the arrival
+    slice against the FIXED quantizer (ivf_assignments(vectors=...) —
+    the same centroids the from-scratch oracle uses, so delta cells
+    are by construction the cells a full rebuild would pick), and
+    the merge re-aggregates count/xor/min/max — all mergeable
+    partials, the ivm_agg_merge algebra.
+
+    Plan at 100 TB: state branch is an index-metadata scan grouped
+    on cent_id (C cells out); delta branch is |batch|×C broadcast
+    cosine work; the merge exchange carries ≤2C rows. Nothing
+    rescans or re-scores corpus vectors."""
+    from sfdc_cdc_aws_spark.operators.similarity import ivf_assignments
+    from sfdc_cdc_aws_spark.operators.text import shared_hash64
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def cell_partial(rows: DataFrame) -> DataFrame:
+        return rows.groupBy("cent_id").agg(
+            F.count("*").alias("n_vecs"),
+            F.bit_xor(
+                shared_hash64(F.col("vec_id").cast("string"))
+            ).alias("member_xor"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+
+    state = cell_partial(
+        ensure_ivf_index(spark, sf_dir).where(
+            F.col("vec_id") % VEC_ARRIVAL_MOD != 0
+        )
+    )
+    delta = cell_partial(
+        ivf_assignments(
+            spark,
+            sf_dir,
+            vectors=e.where(F.col("vec_id") % VEC_ARRIVAL_MOD == 0),
+        )
+    )
+    return (
+        state.unionByName(delta)
+        .groupBy("cent_id")
+        .agg(
+            F.sum("n_vecs").cast("bigint").alias("n_vecs"),
+            F.bit_xor("member_xor").alias("member_xor"),
+            F.min("min_vec").alias("min_vec"),
+            F.max("max_vec").alias("max_vec"),
+        )
+    )

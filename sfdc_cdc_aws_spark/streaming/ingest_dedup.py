@@ -285,3 +285,209 @@ def minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_doc").alias("max_doc"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# the continuous dedup loop: probe -> admit -> fold back, per micro-batch
+# ---------------------------------------------------------------------------
+
+#: arrivals are split into this many sequential micro-batches, one
+#: landing file each; batch membership is pure arithmetic
+#: ((doc_id div ARRIVAL_MOD) % N_ADMIT_BATCHES) so the oracle can
+#: replay the exact same admission order without knowing file layout
+N_ADMIT_BATCHES = 4
+
+_ADMIT_REV = "a1"
+
+
+def ensure_admit_landing(
+    spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_admit_landing"
+) -> str:
+    """Arrival landing for the admit loop: one parquet FILE per
+    admission batch, written sequentially in batch order so the file
+    source's mtime ordering replays batches 0..N-1 deterministically
+    (maxFilesPerTrigger=1 → one micro-batch per file)."""
+    st = os.stat(table_path(sf_dir, "documents"))
+    name = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_ADMIT_REV}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
+    out = os.path.join(base, name)
+    if not os.path.exists(os.path.join(out, "_SUCCESS_ALL")):
+        arr = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % ARRIVAL_MOD == 0)
+            .select(
+                "doc_id",
+                "text",
+                (
+                    F.expr(f"doc_id div {ARRIVAL_MOD}") % N_ADMIT_BATCHES
+                ).alias("batch_id"),
+            )
+        )
+        for b in range(N_ADMIT_BATCHES):
+            (
+                arr.where(F.col("batch_id") == b)
+                .select("doc_id", "text")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, f"b{b}"))
+            )
+        with open(os.path.join(out, "_SUCCESS_ALL"), "w") as f:
+            f.write("ok")
+    return out
+
+
+def _admit_oracle() -> str:
+    """Chained-CTE replay of the sequential admission: batch b's docs
+    are rejected iff they share an LSH band bucket with the index as
+    of batch b (corpus ∪ admissions of batches < b); admitted docs'
+    band rows join the index before batch b+1. Within-batch arrivals
+    are NOT indexed against each other — micro-batch semantics."""
+    batch = f"((doc_id // {ARRIVAL_MOD}) % {N_ADMIT_BATCHES})"
+    parts = [
+        f"WITH {_DUCK_SIG_CTE},",
+        f"""bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(sig[b * {ROWS_PER_BAND} + 1 : (b + 1) * {ROWS_PER_BAND}],
+                         '-') AS bucket
+  FROM sigs, unnest(generate_series(0, {N_BANDS - 1})) AS u(b)
+),""",
+        f"""arrivals AS (
+  SELECT doc_id, {batch} AS batch_id FROM documents
+  WHERE doc_id % {ARRIVAL_MOD} = 0
+),""",
+        f"""idx0 AS (
+  SELECT band_id, bucket FROM bands WHERE doc_id % {ARRIVAL_MOD} <> 0
+),""",
+    ]
+    for b in range(N_ADMIT_BATCHES):
+        parts.append(
+            f"""rej{b} AS (
+  SELECT DISTINCT a.doc_id
+  FROM bands a JOIN idx{b} i
+    ON a.band_id = i.band_id AND a.bucket = i.bucket
+  WHERE a.doc_id % {ARRIVAL_MOD} = 0
+    AND ((a.doc_id // {ARRIVAL_MOD}) % {N_ADMIT_BATCHES}) = {b}
+),"""
+        )
+        parts.append(
+            f"""adm{b} AS (
+  SELECT doc_id FROM arrivals
+  WHERE batch_id = {b} AND doc_id NOT IN (SELECT doc_id FROM rej{b})
+),"""
+        )
+        if b < N_ADMIT_BATCHES - 1:
+            parts.append(
+                f"""idx{b + 1} AS (
+  SELECT band_id, bucket FROM idx{b}
+  UNION ALL
+  SELECT band_id, bucket FROM bands
+  WHERE doc_id IN (SELECT doc_id FROM adm{b})
+),"""
+            )
+    adm_union = " UNION ALL ".join(
+        f"SELECT doc_id FROM adm{b}" for b in range(N_ADMIT_BATCHES)
+    )
+    parts.append(f"admitted AS ({adm_union})")
+    parts.append(
+        """SELECT a.doc_id, CAST(a.batch_id AS INT) AS batch_id,
+       a.doc_id IN (SELECT doc_id FROM admitted) AS admitted
+FROM arrivals a"""
+    )
+    return "\n".join(parts)
+
+
+@query("stream_dedup_admit_merge", oracle=_admit_oracle())
+def stream_dedup_admit_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS dedup loop, end-to-end: each micro-batch of
+    arriving documents is probed against the standing band index,
+    non-duplicates are admitted, and the admitted docs' band rows are
+    folded back into the index BEFORE the next micro-batch probes —
+    so a near-dup of an arrival admitted three batches ago is caught,
+    which the static screen (stream_minhash_ingest) by design cannot
+    do. This composes the round's two halves: the probe
+    (stream_minhash_ingest's join) and the fold-back
+    (minhash_index_merge's append-only delta), inside one
+    foreachBatch drain with exactly-once file appends.
+
+    Mechanics: the landing is one file per admission batch
+    (maxFilesPerTrigger=1 → one micro-batch each, mtime order =
+    batch order); foreachBatch computes the batch's band rows once
+    (localCheckpoint), reads the index as {corpus dir} ∪ {delta dirs
+    appended by prior batches}, left-anti joins to admit, appends
+    admitted band rows as a new delta dir, and appends per-doc
+    verdicts to the result dir. Batch membership is pure arithmetic
+    ((doc_id div {ARRIVAL_MOD}) % {N_ADMIT_BATCHES}), so the oracle
+    replays the identical sequential admission as chained CTEs —
+    order-dependent semantics, deterministically reproduced.
+
+    At 100 TB: the per-batch index read is the bucketed-table probe
+    (shuffle-free on (band_id, bucket)); the fold-back is an
+    append-only file commit exactly like a lake table ingest; no
+    state store is involved because the INDEX IS the state —
+    restart-safe via the checkpoint's file-source log plus
+    idempotent per-batch delta dirs (batch id in the path)."""
+    import shutil
+    import uuid
+
+    landing = ensure_admit_landing(spark, sf_dir)
+    corpus_dir = ensure_band_index(spark, sf_dir)
+    run = uuid.uuid4().hex[:8]
+    delta_base = f"/tmp/sfdc_admit_delta/{run}"
+    verdict_dir = f"/tmp/sfdc_admit_verdicts/{run}"
+    ckpt = f"/tmp/sfdc_cdc_ckpt/admit_{run}"
+    index_dirs: list[str] = [corpus_dir]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        bands_b = (
+            sig_bands(minhash_sig_df(batch_df))
+            .select("doc_id", "band_id", "bucket")
+            .localCheckpoint()
+        )
+        idx = spark.read.parquet(*index_dirs).select("band_id", "bucket")
+        flagged = (
+            bands_b.join(idx, ["band_id", "bucket"])
+            .select("doc_id")
+            .distinct()
+        )
+        verdicts = batch_df.select("doc_id").join(
+            flagged.withColumn("hit", F.lit(True)), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.coalesce(~F.col("hit"), F.lit(True)).alias("admitted"),
+        )
+        verdicts.write.mode("append").parquet(verdict_dir)
+        adm_bands = bands_b.join(
+            verdicts.where("admitted").select("doc_id"), "doc_id"
+        ).select(F.col("doc_id").alias("corpus_doc"), "band_id", "bucket")
+        out = f"{delta_base}/b{batch_id}"
+        adm_bands.write.mode("overwrite").parquet(out)
+        index_dirs.append(out)
+
+    arrivals = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/b*")
+    )
+    q = (
+        arrivals.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.read.parquet(verdict_dir)
+        .select(
+            "doc_id",
+            (F.expr(f"doc_id div {ARRIVAL_MOD}") % N_ADMIT_BATCHES)
+            .cast("int")
+            .alias("batch_id"),
+            "admitted",
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(delta_base, ignore_errors=True)
+    shutil.rmtree(verdict_dir, ignore_errors=True)
+    return result

@@ -126,3 +126,60 @@ def test_screen_drop_accounting_uniform(spark):
     )
     assert obs2["arrivals.n_in"] == n_vecs
     assert obs2["flagged.n_pairs"] == ann.count()
+
+
+def test_admit_merge_folds_index_between_batches(spark):
+    """The continuous-loop property: (a) two drains are identical
+    (batch order is deterministic), (b) some arrival is REJECTED
+    against a PREVIOUSLY ADMITTED ARRIVAL — a verdict the static
+    corpus screen cannot produce — and (c) every rejection is
+    justified by a band match against corpus or an earlier-admitted
+    arrival."""
+    from pyspark.sql import functions as F
+
+    from sfdc_cdc_aws_spark.operators.dedup import minhash_sig_df, sig_bands
+    from sfdc_cdc_aws_spark.sources import load_table
+    from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
+        ARRIVAL_MOD,
+        stream_dedup_admit_merge,
+    )
+
+    r1 = sorted(map(tuple, stream_dedup_admit_merge(spark, SF).collect()))
+    r2 = sorted(map(tuple, stream_dedup_admit_merge(spark, SF).collect()))
+    assert r1 == r2 and len(r1) > 0
+    verdicts = {d: (b, a) for d, b, a in r1}
+    rejected = {d for d, (b, a) in verdicts.items() if not a}
+    assert rejected, "fixture produced no rejections"
+
+    # band relation over all docs, batch labels for arrivals
+    bands = sig_bands(
+        minhash_sig_df(load_table(spark, SF, "documents", widen=True))
+    ).collect()
+    corpus_buckets = {
+        (r.band_id, r.bucket) for r in bands if r.doc_id % ARRIVAL_MOD != 0
+    }
+    arrival_bands: dict[int, set] = {}
+    for r in bands:
+        if r.doc_id % ARRIVAL_MOD == 0:
+            arrival_bands.setdefault(r.doc_id, set()).add(
+                (r.band_id, r.bucket)
+            )
+    found_arrival_only_rejection = False
+    for d in rejected:
+        b, _ = verdicts[d]
+        mine = arrival_bands.get(d, set())
+        hits_corpus = bool(mine & corpus_buckets)
+        earlier_admitted = {
+            (bb, bk)
+            for d2, (b2, a2) in verdicts.items()
+            if a2 and b2 < b
+            for (bb, bk) in arrival_bands.get(d2, set())
+        }
+        hits_earlier = bool(mine & earlier_admitted)
+        assert hits_corpus or hits_earlier, (d, b)
+        if hits_earlier and not hits_corpus:
+            found_arrival_only_rejection = True
+    assert found_arrival_only_rejection, (
+        "no rejection attributable ONLY to a previously admitted "
+        "arrival — the fold-back is untested by this fixture"
+    )
