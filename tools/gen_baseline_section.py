@@ -240,9 +240,8 @@ def build() -> str:
             "regenerated band prices the FIXED key, so the r10 "
             "pre-fix reading above it is expected and closed — the "
             "next driver run is the test.",
-            "- The remaining BENCH_r10 rows above fresh band maxima "
-            "(`bucketed_colocated_join` +0.13 s, `sentence_dedup` "
-            "+0.10 s, `scd2_temporal_probe_join` +0.09 s) are the "
+            "- Any remaining BENCH_r10 rows above fresh band maxima "
+            "(e.g. `bucketed_colocated_join` +0.13 s) are the "
             "round-10 verdict's own 'sub-0.5 s keys inside startup "
             "noise' class: absolute deltas under 0.15 s on a driver "
             "campaign whose machine drift spanned 1.55x, with code "

@@ -73,6 +73,7 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "ann_eval_ndcg": "contains the audited ann_ivf_pq_topk + topk_cosine_sim subplans — their query-constant build sides, nothing new",
         "hybrid_search_rrf": "dense-leg probe = ONE embedding row; bm25 corpus scalar — one-row build sides",
         "ivf_train_centroids": "build side = the k=16-row refined quantizer relation — index constants, not the corpus (same class as ann_ivf_topk)",
+        "ivf_index_merge": "build side = the N_CENTROIDS=16-row broadcast quantizer in the delta branch's ivf_assignments (the state branch reads index parquet, no scoring) — index constants, not the corpus (same class as ivf_train_centroids)",
         "bigram_lm_score": "corpus log-prob scalar — one-row build side",
         "bigram_pmi": "two corpus-total scalars — one-row build sides",
         "bm25_score": "corpus stats (N, avgdl) scalar — one row",
