@@ -1685,20 +1685,31 @@ def neardup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     and keep pairs confirmed by at least ENSEMBLE_MIN_VOTES methods,
     with per-pair method provenance.
 
-    Plan posture: pure composition — the three candidate relations
-    are the ALREADY-blocked pipelines (LSH band buckets with
-    salt-split caps, shingle posting lists with observed caps,
-    16-bit signature equality classes), so the union never introduces
-    a new pair-space blow-up; the vote is ONE map-side-combinable
-    aggregate keyed on the (doc_a, doc_b) pair, and provenance is a
-    sorted string_agg, deterministic across engines. At 100 TB this
-    is the cheapest ensemble shape there is: three narrow signature
-    shuffles + one pair-keyed count, no cross-family join."""
-    m = minhash_lsh_dedup(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit("minhash").alias("method")
-    )
-    j = ngram_jaccard_dedup(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit("ngram").alias("method")
+    Plan posture (round-11 verdict item 5 — the ngram leg is a
+    VERIFIER, not a generator): with ENSEMBLE_MIN_VOTES = 2 of 3
+    methods, every surviving pair carries at least one vote from
+    {minhash, simhash} — so the ngram leg never has to GENERATE
+    candidates at all. The old shape composed ngram_jaccard_dedup's
+    posting-list self-join, whose hot-shingle Σ list² tail dominated
+    every lane it appeared in (~2 B intermediate rows / 1103 s at
+    x100, EXEMPT). PPJoin prefix filtering cannot fix that leg at the
+    ensemble's own θ: JACCARD_MIN = 0.01 makes the prefix length
+    |d| − ceil(0.01·|d|) + 1 ≈ |d| — zero candidate elimination.
+    Vote algebra is stronger than any prefix: candidates :=
+    minhash ∪ simhash pairs (already-blocked relations), and the
+    exact 4-gram Jaccard test runs ONLY on those pairs via a per-doc
+    distinct-shingle-hash array (materialized once) and
+    array_intersect — O(candidates × doc length), whole-stage
+    codegen, no posting-list pair space anywhere. Output is
+    IDENTICAL to the uncapped oracle (an ngram-only pair has 1 vote
+    and never surfaces; any output pair is in the candidate set by
+    the 2-of-3 pigeonhole), so the x10 checksum anchor holds
+    unchanged. At 100 TB: three narrow signature shuffles + one
+    candidate-keyed verify join + one pair-keyed count."""
+    m = (
+        minhash_lsh_dedup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     # materialize the signature relation once: the self-join would
     # otherwise recompute the 16-bit vote aggregate on BOTH sides
@@ -1715,13 +1726,58 @@ def neardup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.lit("simhash").alias("method"),
         )
+        .localCheckpoint()
+    )
+    cand = m.unionByName(sp).distinct()
+    # per-doc distinct shingle-hash set, computed ONCE for both join
+    # sides (the rhp_lsh_neardup round-11 lesson: an unmaterialized
+    # relation consumed by two sides of a join runs twice)
+    d = load_table(spark, sf_dir, "documents", widen=True)
+    shs = (
+        d.where(F.size(tokens_col()) >= 4)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.transform(_word_shingles(4), lambda g: shared_hash64(g))
+            ).alias("hs"),
+        )
+        .withColumn("n", F.size("hs"))
+        .localCheckpoint()
+    )
+    a = shs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    b = shs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    ng = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(F.col("lang_a") == F.col("lang_b"))
+        .withColumn("n_common", n_common)
+        .where(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+            >= JACCARD_MIN
+        )
+        .select("doc_a", "doc_b")
+    )
+    votes = (
+        m.withColumn("method", F.lit("minhash"))
+        .unionByName(ng.withColumn("method", F.lit("ngram")))
+        .unionByName(sp.withColumn("method", F.lit("simhash")))
     )
     return (
-        m.unionByName(j)
-        .unionByName(sp)
-        .groupBy("doc_a", "doc_b")
+        votes.groupBy("doc_a", "doc_b")
         .agg(
             F.count("*").cast("bigint").alias("n_votes"),
             F.array_join(F.sort_array(F.collect_list("method")), ",").alias(

@@ -316,23 +316,34 @@ def run_available_now(
         _capture_state_metrics(q, name_prefix)
         for p in q.recentProgress:
             _harvest(p if isinstance(p, dict) else _json.loads(p.json))
-        if obs_by_batch:
-            totals: dict[str, float] = {}
-            for om in obs_by_batch.values():
-                for oname, fields in om.items():
-                    # recentProgress dicts carry Row values; the
-                    # listener's JSON path carries plain dicts
-                    if hasattr(fields, "asDict"):
-                        fields = fields.asDict()
-                    for fname, v in fields.items():
-                        if isinstance(v, (int, float)):
-                            totals[f"{oname}.{fname}"] = (
-                                totals.get(f"{oname}.{fname}", 0) + v
-                            )
-            LAST_DRAIN_OBSERVED[name_prefix] = {
-                "n_batches": len(obs_by_batch),
-                **totals,
-            }
+        # detach the listener BEFORE iterating: its async delivery
+        # thread can still insert a late onQueryProgress event after
+        # awaitTermination returns, which would mutate obs_by_batch
+        # mid-iteration (the finally's removeListener stays as the
+        # failure-path guard; removing twice is a harmless no-op on
+        # the JVM listener bus)
+        spark.streams.removeListener(listener)
+        snapshot = list(obs_by_batch.values())
+        totals: dict[str, float] = {}
+        for om in snapshot:
+            for oname, fields in om.items():
+                # recentProgress dicts carry Row values; the
+                # listener's JSON path carries plain dicts
+                if hasattr(fields, "asDict"):
+                    fields = fields.asDict()
+                for fname, v in fields.items():
+                    if isinstance(v, (int, float)):
+                        totals[f"{oname}.{fname}"] = (
+                            totals.get(f"{oname}.{fname}", 0) + v
+                        )
+        # ALWAYS assign, even on a zero-progress drain: leaving the
+        # previous drain's totals in place would let readers (e.g.
+        # stream_quality_gate's LAST_GATE_METRICS) report stale
+        # n_in/n_pass as the current run's numbers
+        LAST_DRAIN_OBSERVED[name_prefix] = {
+            "n_batches": len(snapshot),
+            **totals,
+        }
         # detach the result from the memory sink so repeated drains
         # don't accumulate sink state/views in the session:
         # materialize once (eager localCheckpoint) before the finally
@@ -345,7 +356,10 @@ def run_available_now(
         # quality_gate so every drained screen gets the guarantee)
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        spark.streams.removeListener(listener)
+        try:
+            spark.streams.removeListener(listener)
+        except Exception:
+            pass
         try:
             spark.catalog.dropTempView(qname)
         except Exception:

@@ -1,0 +1,86 @@
+"""Kill-and-resume drill for the continuous dedup admit loop
+(round-11 verdict item 2): the docstring's restart claim must be the
+TESTED behavior, not prose.  A subprocess running its own
+SparkSession drains the admit loop against the deterministic
+per-fixture state dirs and SIGKILLs its whole process group after
+batch 1's outputs are written but BEFORE the streaming checkpoint
+commits — the torn window a real crash exposes (no Python unwinding,
+no finally blocks, the JVM dies too; same discipline as the OCC
+torn-commit drill, tests/test_incremental_merge.py:402).  The main
+session then resumes from the same state root and must produce
+verdicts identical to an uninterrupted run."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
+    admit_state_base,
+    ensure_admit_landing,
+    run_admit_drain,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_KILL_SCRIPT = """
+import sys
+from sfdc_cdc_aws_spark.session import get_session
+from sfdc_cdc_aws_spark.streaming.ingest_dedup import run_admit_drain
+
+spark = get_session("admit_kill_drill", cpus=4)
+run_admit_drain(spark, sys.argv[1], keep_state=True, kill_after_batch=1)
+raise SystemExit("unreachable: the drain should have SIGKILLed itself")
+"""
+
+
+def test_sigkill_mid_drain_then_resume_matches_uninterrupted(spark):
+    landing = ensure_admit_landing(spark, SF)
+    state = admit_state_base(landing)
+
+    # uninterrupted baseline (cleans its own state on success)
+    shutil.rmtree(state, ignore_errors=True)
+    baseline = sorted(map(tuple, run_admit_drain(spark, SF).collect()))
+    assert not os.path.exists(state), "successful drain must not leak state"
+
+    # a REAL process death mid-drain, in its own session group so the
+    # killpg cannot reach the test runner
+    proc = subprocess.run(
+        [sys.executable, "-c", _KILL_SCRIPT, SF],
+        start_new_session=True,
+        timeout=600,
+    )
+    assert proc.returncode == -9  # genuinely SIGKILLed
+
+    # torn window on disk: batches 0 and 1 wrote their outputs, batch
+    # 1's checkpoint commit is missing (it died inside foreachBatch),
+    # batches 2/3 never ran
+    for b in (0, 1):
+        assert os.path.exists(f"{state}/delta/b{b}/_SUCCESS")
+        assert os.path.exists(f"{state}/verdicts/b{b}/_SUCCESS")
+    assert not os.path.exists(f"{state}/delta/b2")
+    commits = os.path.join(state, "ckpt", "commits")
+    committed = {
+        n for n in os.listdir(commits) if not n.startswith(".")
+    } if os.path.isdir(commits) else set()
+    assert "1" not in committed, "batch 1 must be UNcommitted (torn)"
+
+    # the killed run's already-written verdicts agree with baseline
+    partial = {
+        (r["doc_id"],): r["admitted"]
+        for r in spark.read.parquet(f"{state}/verdicts/b*").collect()
+    }
+    base_map = {(d,): a for d, _b, a in baseline}
+    assert all(base_map[k] == v for k, v in partial.items())
+
+    # resume against the SAME deterministic state root: the file
+    # source replays only batch 1 (idempotent overwrite of its delta +
+    # verdict dirs, probing an index that EXCLUDES its own torn
+    # delta), then continues 2 and 3
+    resumed = sorted(map(tuple, run_admit_drain(spark, SF).collect()))
+    assert resumed == baseline, "resumed verdicts != uninterrupted run"
+    # verdict equality implies index equality: the fold-back deltas
+    # are a deterministic function of the admitted doc set
+    assert not os.path.exists(state)

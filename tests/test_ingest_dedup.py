@@ -183,3 +183,37 @@ def test_admit_merge_folds_index_between_batches(spark):
         "no rejection attributable ONLY to a previously admitted "
         "arrival — the fold-back is untested by this fixture"
     )
+
+
+def test_cc_label_merge_equals_from_scratch(spark):
+    """The maintenance contract, Spark-vs-Spark: patching the corpus
+    labels with the arrival delta must equal re-running CC over the
+    full pair graph (the DuckDB oracle re-proves this at sf0.01 in
+    the parity lane)."""
+    from sfdc_cdc_aws_spark.operators.dedup import dedup_clusters
+    from sfdc_cdc_aws_spark.streaming.ingest_dedup import cc_label_merge
+
+    merged = sorted(map(tuple, cc_label_merge(spark, SF).collect()))
+    scratch = sorted(map(tuple, dedup_clusters(spark, SF).collect()))
+    assert merged == scratch
+
+
+def test_cc_label_merge_never_splits(spark):
+    """Edge monotonicity: new edges can only merge standing clusters,
+    so every standing cluster maps onto exactly ONE merged cluster
+    and labels only decrease."""
+    from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
+        cc_label_merge,
+        ensure_cc_state,
+    )
+
+    state = {
+        r.doc_id: r.cluster_id
+        for r in spark.read.parquet(ensure_cc_state(spark, SF)).collect()
+    }
+    merged = {r.doc_id: r.cluster_id for r in cc_label_merge(spark, SF).collect()}
+    old_to_new: dict[int, set[int]] = {}
+    for doc, old in state.items():
+        old_to_new.setdefault(old, set()).add(merged[doc])
+        assert merged[doc] <= old, "a label increased under merge"
+    assert all(len(v) == 1 for v in old_to_new.values()), "a cluster split"

@@ -689,3 +689,41 @@ def test_line_dedup_prunes_scan_and_avoids_cartesian(spark):
     assert all("lang" not in s and "source" not in s for s in schemas)
     assert "CartesianProduct" not in join_kinds(df)
     assert "BroadcastNestedLoopJoin" not in join_kinds(df)
+
+
+def test_bucketed_index_merge_state_branch_exchange_free(spark):
+    """minhash_index_merge_bucketed (round-12): the corpus-sized state
+    branch aggregates the bucketed table with NO exchange — the whole
+    plan's single Exchange is the arrival delta's partial aggregate,
+    so at 100 TB only the crawl shard moves."""
+    df = _df(spark, "minhash_index_merge_bucketed")
+    assert exchange_count(df) == 1
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+
+    plan = plan_string(df)
+    assert "SortMergeJoin" in plan
+    assert "band_idx_bkt_" in plan  # the bucketed table is the state
+
+
+def test_bucketed_admit_probe_only_batch_side_shuffles(spark):
+    """stream_dedup_admit_bucketed's per-batch probe: the bucketed
+    index FileScan feeds the sort-merge join directly off its bucket
+    files; the only exchange is the (small) batch side's band rows."""
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+    from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
+        admit_probe_plan,
+        ensure_band_index_table,
+        ensure_doc_landing,
+    )
+
+    tbl = ensure_band_index_table(spark, SF, fresh=True)
+    batch = spark.read.parquet(ensure_doc_landing(spark, SF))
+    probe = admit_probe_plan(spark, batch, tbl)
+    probe.count()
+    assert exchange_count(probe) == 1
+    plan = plan_string(probe)
+    assert "SortMergeJoin" in plan
+    # the exchange partitions on the probe's band columns, never on
+    # the index side (whose scan carries the table name)
+    idx_scan = [ln for ln in plan.splitlines() if "band_idx_bkt_" in ln]
+    assert idx_scan and all("Exchange" not in ln for ln in idx_scan)
