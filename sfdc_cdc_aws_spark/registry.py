@@ -79,6 +79,7 @@ def load_all() -> dict[str, QuerySpec]:
         "sfdc_cdc_aws_spark.streaming.backfill",
         "sfdc_cdc_aws_spark.streaming.quality_gate",
         "sfdc_cdc_aws_spark.streaming.ingest_dsir",
+        "sfdc_cdc_aws_spark.streaming.ingest_quartet",
     ):
         try:
             importlib.import_module(mod)

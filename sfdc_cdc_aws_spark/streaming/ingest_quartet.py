@@ -1,0 +1,502 @@
+"""The composed arrival screen: ONE ingest drain applying all four
+admission screens — quality rules, DSIR distribution fit, MinHash
+near-dup, ANN vector near-dup — per micro-batch, with per-screen
+verdicts and drop accounting (round-11 verdict item 8).
+
+The four screens exist individually (stream_quality_gate,
+stream_dsir_ingest, stream_minhash_ingest/stream_dedup_admit_merge,
+stream_ann_ingest); production ingests ONCE, so the composition is
+the real product shape: a single foreachBatch computes every verdict
+over the same arriving rows, admits docs passing all four, and folds
+the admitted docs' band rows back into the dup index before the next
+batch probes (only the dup screen is stateful; the vector fold-back
+twin is proven separately by ivf_index_merge). The DuckDB oracle
+replays the identical order-dependent admission as chained CTEs —
+the stream_dedup_admit_merge discipline, extended with the three
+stateless screens' predicates.
+
+Reference parity: the reference forwards every event unfiltered
+(worker/lambda/app.py:96-118); this is §2.9 extension surface on the
+S5 micro-batch arrival model.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.functions.vector import DUCK_COSINE, cosine_prenorm, norm
+from sfdc_cdc_aws_spark.operators.curation2 import (
+    _DUCK_FEATS,
+    DSIR_BUCKETS,
+    _feats_col,
+)
+from sfdc_cdc_aws_spark.operators.dedup import (
+    _DUCK_SIG_CTE,
+    N_BANDS,
+    ROWS_PER_BAND,
+    minhash_sig_df,
+    sig_bands,
+)
+from sfdc_cdc_aws_spark.operators.similarity import (
+    N_CENTROIDS,
+    N_PROBE,
+    NEARDUP_COS,
+    ensure_ivf_index,
+)
+from sfdc_cdc_aws_spark.operators.text import _DUCK_TOKENS, shared_hash64
+from sfdc_cdc_aws_spark.registry import query
+from sfdc_cdc_aws_spark.sources import load_table
+from sfdc_cdc_aws_spark.sources.tables import table_path
+from sfdc_cdc_aws_spark.streaming.ingest_ann import _probe_cells_expr
+from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
+    ARRIVAL_MOD,
+    N_ADMIT_BATCHES,
+    ensure_band_index,
+)
+from sfdc_cdc_aws_spark.streaming.ingest_dsir import ensure_dsir_model
+from sfdc_cdc_aws_spark.streaming.quality_gate import (
+    GATE_MAX_CHARS,
+    GATE_MIN_TOKENS,
+    _gate_pass,
+)
+
+_LANDING_REV = "q1"
+
+
+def ensure_quartet_landing(
+    spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_quartet_landing"
+) -> str:
+    """Arrival landing with FULL screen columns (doc_id, text, lang,
+    n_chars) — one parquet file per admission batch, mtimes stamped
+    strictly increasing so the file source replays batch order
+    deterministically (the ensure_admit_landing discipline)."""
+    st = os.stat(table_path(sf_dir, "documents"))
+    name = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_LANDING_REV}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
+    out = os.path.join(base, name)
+    if not os.path.exists(os.path.join(out, "_SUCCESS_ALL")):
+        arr = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % ARRIVAL_MOD == 0)
+            .select(
+                "doc_id",
+                "text",
+                "lang",
+                "n_chars",
+                (
+                    F.expr(f"doc_id div {ARRIVAL_MOD}") % N_ADMIT_BATCHES
+                ).alias("batch_id"),
+            )
+        )
+        for b in range(N_ADMIT_BATCHES):
+            bdir = os.path.join(out, f"b{b}")
+            (
+                arr.where(F.col("batch_id") == b)
+                .select("doc_id", "text", "lang", "n_chars")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(bdir)
+            )
+            ts = st.st_mtime + 10 + b
+            for fn in os.listdir(bdir):
+                os.utime(os.path.join(bdir, fn), (ts, ts))
+        with open(os.path.join(out, "_SUCCESS_ALL"), "w") as f:
+            f.write("ok")
+    return out
+
+
+def _quartet_oracle() -> str:
+    """Chained-CTE replay of the composed admission: per batch b, a
+    doc is ADMITTED iff it passes the three stateless screens (gate,
+    DSIR, ANN) and shares no LSH band bucket with the dup index as of
+    batch b (corpus ∪ prior ADMITTED arrivals — only fully admitted
+    docs join the corpus, so only they fold into the index)."""
+    batch = f"((doc_id // {ARRIVAL_MOD}) % {N_ADMIT_BATCHES})"
+    dsir_alpha_cte = f"""
+arrivals AS (
+  SELECT doc_id, {batch} AS batch_id FROM documents
+  WHERE doc_id % {ARRIVAL_MOD} = 0
+),
+gate AS (
+  SELECT doc_id,
+         (len({_DUCK_TOKENS}) >= {GATE_MIN_TOKENS}
+          AND n_chars < {GATE_MAX_CHARS}) AS gate_pass
+  FROM documents WHERE doc_id % {ARRIVAL_MOD} = 0
+),
+ft AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents
+),
+corpus_fb AS (
+  SELECT lang,
+         ({{H}}) % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest({_DUCK_FEATS}) AS feat FROM ft
+        WHERE doc_id % {ARRIVAL_MOD} <> 0)
+),
+draw AS (
+  SELECT bucket, count(*) AS rc,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+  FROM corpus_fb GROUP BY bucket
+),
+dtot AS (
+  SELECT CAST(sum(rc) AS BIGINT) AS r_total,
+         CAST(sum(tc) AS BIGINT) AS t_total
+  FROM draw
+),
+dmodel AS (
+  SELECT g.bucket,
+         CAST(round(
+           ln((coalesce(draw.tc, 0) + 0.5)
+              / (dtot.t_total + 0.5 * {DSIR_BUCKETS}))
+           - ln((coalesce(draw.rc, 0) + 0.5)
+              / (dtot.r_total + 0.5 * {DSIR_BUCKETS})),
+           9) AS DECIMAL(18,9)) AS c
+  FROM (SELECT unnest(range(0, {DSIR_BUCKETS})) AS bucket) g
+  LEFT JOIN draw ON g.bucket = draw.bucket
+  CROSS JOIN dtot
+),
+arrival_fb AS (
+  SELECT doc_id, ({{H}}) % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, unnest({_DUCK_FEATS}) AS feat FROM ft
+        WHERE doc_id % {ARRIVAL_MOD} = 0)
+),
+dsirw AS (
+  SELECT a.doc_id, sum(m.c) AS w
+  FROM arrival_fb a JOIN dmodel m ON a.bucket = m.bucket
+  GROUP BY a.doc_id
+),
+dsir AS (
+  SELECT ar.doc_id,
+         coalesce(d.w, CAST(0 AS DECIMAL(18,9))) >= 0 AS dsir_pass
+  FROM arrivals ar LEFT JOIN dsirw d ON ar.doc_id = d.doc_id
+)"""
+    from sfdc_cdc_aws_spark.operators.text import DUCK_HASH64
+
+    dsir_alpha_cte = dsir_alpha_cte.replace(
+        "{H}", DUCK_HASH64.format(expr="feat")
+    )
+    ann_cte = f"""
+vcents AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+vcorpus AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {DUCK_COSINE.format(a='e.embedding', b='c.c_emb')} DESC,
+                      c.cent_id) AS rn
+    FROM embeddings e, vcents c
+    WHERE e.vec_id % {ARRIVAL_MOD} <> 0
+  ) WHERE rn = 1
+),
+varr AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {ARRIVAL_MOD} = 0
+),
+vprobes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT a.vec_id AS query_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {DUCK_COSINE.format(a='a.embedding', b='c.c_emb')} DESC,
+                      c.cent_id) AS rn
+    FROM varr a, vcents c
+  ) WHERE rn <= {N_PROBE}
+),
+annhit AS (
+  SELECT DISTINCT p.query_id AS doc_id
+  FROM vprobes p
+  JOIN vcorpus s ON s.cent_id = p.cent_id
+  JOIN varr a ON a.vec_id = p.query_id
+  WHERE {DUCK_COSINE.format(a='a.embedding', b='s.embedding')}
+        >= {NEARDUP_COS}
+),
+ann AS (
+  SELECT ar.doc_id, (h.doc_id IS NULL) AS ann_pass
+  FROM arrivals ar LEFT JOIN annhit h ON ar.doc_id = h.doc_id
+),
+elig AS (
+  SELECT g.doc_id,
+         (g.gate_pass AND d.dsir_pass AND an.ann_pass) AS others_pass
+  FROM gate g
+  JOIN dsir d ON g.doc_id = d.doc_id
+  JOIN ann an ON g.doc_id = an.doc_id
+)"""
+    parts = [
+        f"WITH {_DUCK_SIG_CTE},",
+        f"""bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(sig[b * {ROWS_PER_BAND} + 1 : (b + 1) * {ROWS_PER_BAND}],
+                         '-') AS bucket
+  FROM sigs, unnest(generate_series(0, {N_BANDS - 1})) AS u(b)
+),""",
+        dsir_alpha_cte.strip() + ",",
+        ann_cte.strip() + ",",
+        f"""idx0 AS (
+  SELECT band_id, bucket FROM bands WHERE doc_id % {ARRIVAL_MOD} <> 0
+),""",
+    ]
+    for b in range(N_ADMIT_BATCHES):
+        parts.append(
+            f"""rej{b} AS (
+  SELECT DISTINCT a.doc_id
+  FROM bands a JOIN idx{b} i
+    ON a.band_id = i.band_id AND a.bucket = i.bucket
+  WHERE a.doc_id % {ARRIVAL_MOD} = 0
+    AND ((a.doc_id // {ARRIVAL_MOD}) % {N_ADMIT_BATCHES}) = {b}
+),"""
+        )
+        parts.append(
+            f"""adm{b} AS (
+  SELECT ar.doc_id FROM arrivals ar JOIN elig e ON ar.doc_id = e.doc_id
+  WHERE ar.batch_id = {b} AND e.others_pass
+    AND ar.doc_id NOT IN (SELECT doc_id FROM rej{b})
+),"""
+        )
+        if b < N_ADMIT_BATCHES - 1:
+            parts.append(
+                f"""idx{b + 1} AS (
+  SELECT band_id, bucket FROM idx{b}
+  UNION ALL
+  SELECT band_id, bucket FROM bands
+  WHERE doc_id IN (SELECT doc_id FROM adm{b})
+),"""
+            )
+    rej_union = " UNION ALL ".join(
+        f"SELECT doc_id FROM rej{b}" for b in range(N_ADMIT_BATCHES)
+    )
+    adm_union = " UNION ALL ".join(
+        f"SELECT doc_id FROM adm{b}" for b in range(N_ADMIT_BATCHES)
+    )
+    parts.append(f"rejected_dup AS ({rej_union}),")
+    parts.append(f"admitted AS ({adm_union})")
+    parts.append(
+        """SELECT ar.doc_id, CAST(ar.batch_id AS INT) AS batch_id,
+       g.gate_pass, d.dsir_pass, an.ann_pass,
+       ar.doc_id NOT IN (SELECT doc_id FROM rejected_dup) AS dup_pass,
+       ar.doc_id IN (SELECT doc_id FROM admitted) AS admitted
+FROM arrivals ar
+JOIN gate g ON ar.doc_id = g.doc_id
+JOIN dsir d ON ar.doc_id = d.doc_id
+JOIN ann an ON ar.doc_id = an.doc_id"""
+    )
+    return "\n".join(parts)
+
+
+@query("stream_screen_quartet", oracle=_quartet_oracle())
+def stream_screen_quartet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE foreachBatch drain applying all four admission screens per
+    micro-batch, emitting per-doc per-screen verdicts:
+
+    - **gate_pass** — stateless rules (≥{GATE_MIN_TOKENS} tokens,
+      <{GATE_MAX_CHARS} chars), the stream_quality_gate predicate.
+    - **dsir_pass** — DSIR importance weight ≥ 0 against the
+      materialized corpus model (exact DECIMAL sum — no float
+      boundary; docs with no features carry weight 0 and pass), the
+      stream_dsir_ingest model.
+    - **ann_pass** — no corpus vector above {NEARDUP_COS} cosine in
+      the doc's {N_PROBE} probed IVF cells (docs without an embedding
+      bypass and pass), the stream_ann_ingest probe. The vector
+      corpus here is the DOC split (vec_id % {ARRIVAL_MOD}), aligning
+      all four screens on one arrival population.
+    - **dup_pass** — no shared LSH band bucket with the index as of
+      this batch: corpus ∪ band rows of PRIOR FULLY-ADMITTED
+      arrivals. Only the dup screen is stateful; only docs passing
+      ALL FOUR screens fold back (an arrival rejected by the gate
+      never joins the corpus, so it must not block a later twin).
+
+    admitted = all four. Drop accounting is the verdict relation
+    itself — per-screen failure counts are one aggregation over the
+    output, and tests/test_quartet.py checks each column against the
+    corresponding individual screen's verdicts. The DuckDB oracle
+    replays the same order-dependent admission as chained CTEs.
+
+    At 100 TB: three stateless map-side screens (rules inline;
+    DSIR = broadcast join against a {DSIR_BUCKETS}-row model;
+    ANN = bounded-cell probe against the materialized IVF index) plus
+    the banded dup probe — the same per-batch cost envelope as
+    stream_dedup_admit_merge, one pass over the arrivals instead of
+    four separate drains."""
+    import shutil
+
+    landing = ensure_quartet_landing(spark, sf_dir)
+    corpus_dir = ensure_band_index(spark, sf_dir)
+    model_path = ensure_dsir_model(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (
+            r["vec_id"],
+            list(r["embedding"]),
+            float(sum(x * x for x in r["embedding"]) ** 0.5),
+        )
+        for r in e.where(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    # IVF cell index filtered to the DOC-split corpus slice,
+    # materialized once for all batches
+    vindex = (
+        ensure_ivf_index(spark, sf_dir)
+        .where(F.col("vec_id") % ARRIVAL_MOD != 0)
+        .select(
+            "cent_id",
+            F.col("embedding").alias("c_embedding"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        .localCheckpoint()
+    )
+    arr_vecs = (
+        e.where(F.col("vec_id") % ARRIVAL_MOD == 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            norm(F.col("embedding")).alias("nrm"),
+        )
+        .localCheckpoint()
+    )
+    state = f"/tmp/sfdc_quartet_state/{os.path.basename(landing)}"
+    delta_base = f"{state}/delta"
+    verdict_base = f"{state}/verdicts"
+    ckpt = f"{state}/ckpt"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        b = batch_df.localCheckpoint()
+        ids = b.select("doc_id")
+        gate = b.select("doc_id", _gate_pass().alias("gate_pass"))
+        model = F.broadcast(s.read.parquet(model_path))
+        w = (
+            b.select("doc_id", F.explode(_feats_col()).alias("feat"))
+            .select(
+                "doc_id",
+                (shared_hash64(F.col("feat")) % DSIR_BUCKETS).alias("bucket"),
+            )
+            .join(model, "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("w"))
+        )
+        dsir = ids.join(w, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.coalesce(F.col("w"), F.lit(0).cast("decimal(18,9)"))
+                >= 0
+            ).alias("dsir_pass"),
+        )
+        probed = (
+            ids.join(arr_vecs, "doc_id")
+            .select(
+                "doc_id",
+                "embedding",
+                "nrm",
+                F.explode(
+                    _probe_cells_expr(F.col("embedding"), F.col("nrm"), cents)
+                ).alias("p"),
+            )
+            .select("doc_id", "embedding", "nrm", F.col("p.cent_id").alias("cent_id"))
+        )
+        annhits = (
+            probed.join(vindex, "cent_id")
+            .where(
+                cosine_prenorm(
+                    F.col("embedding"),
+                    F.col("c_embedding"),
+                    F.col("nrm"),
+                    F.col("c_nrm"),
+                )
+                >= NEARDUP_COS
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        ann = ids.join(
+            annhits.withColumn("hit", F.lit(True)), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce(~F.col("hit"), F.lit(True)).alias("ann_pass")
+        )
+        bands_b = (
+            sig_bands(minhash_sig_df(b))
+            .select("doc_id", "band_id", "bucket")
+            .localCheckpoint()
+        )
+        index_dirs = [corpus_dir] + [
+            d
+            for d in (f"{delta_base}/b{i}" for i in range(batch_id))
+            if os.path.exists(os.path.join(d, "_SUCCESS"))
+        ]
+        idx = s.read.parquet(*index_dirs).select("band_id", "bucket")
+        flagged = (
+            bands_b.join(idx, ["band_id", "bucket"])
+            .select("doc_id")
+            .distinct()
+        )
+        dup = ids.join(
+            flagged.withColumn("hit", F.lit(True)), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce(~F.col("hit"), F.lit(True)).alias("dup_pass")
+        )
+        verdicts = (
+            gate.join(dsir, "doc_id")
+            .join(ann, "doc_id")
+            .join(dup, "doc_id")
+            .select(
+                "doc_id",
+                "gate_pass",
+                "dsir_pass",
+                "ann_pass",
+                "dup_pass",
+                (
+                    F.col("gate_pass")
+                    & F.col("dsir_pass")
+                    & F.col("ann_pass")
+                    & F.col("dup_pass")
+                ).alias("admitted"),
+            )
+            .localCheckpoint()
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{verdict_base}/b{batch_id}"
+        )
+        adm_bands = bands_b.join(
+            verdicts.where("admitted").select("doc_id"), "doc_id"
+        ).select(F.col("doc_id").alias("corpus_doc"), "band_id", "bucket")
+        adm_bands.write.mode("overwrite").parquet(f"{delta_base}/b{batch_id}")
+
+    arrivals = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/b*")
+    )
+    try:
+        q = (
+            arrivals.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.read.parquet(f"{verdict_base}/b*")
+            .select(
+                "doc_id",
+                (F.expr(f"doc_id div {ARRIVAL_MOD}") % N_ADMIT_BATCHES)
+                .cast("int")
+                .alias("batch_id"),
+                "gate_pass",
+                "dsir_pass",
+                "ann_pass",
+                "dup_pass",
+                "admitted",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return result

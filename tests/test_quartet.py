@@ -1,0 +1,92 @@
+"""The composed screen quartet must agree, screen by screen, with the
+individual screens it composes (round-11 verdict item 8): same rules,
+same model, same probe, same index discipline — one drain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sfdc_cdc_aws_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+SPECS = load_all()
+
+
+def _quartet(spark):
+    return {
+        r["doc_id"]: r
+        for r in SPECS["stream_screen_quartet"].fn(spark, SF).collect()
+    }
+
+
+def test_quartet_matches_individual_screens(spark):
+    from sfdc_cdc_aws_spark.operators.text import tokens_col
+    from sfdc_cdc_aws_spark.sources import load_table
+    from sfdc_cdc_aws_spark.streaming.quality_gate import (
+        GATE_MAX_CHARS,
+        GATE_MIN_TOKENS,
+    )
+
+    q = _quartet(spark)
+
+    # gate_pass == the stream_quality_gate predicate per doc
+    gate = {
+        r["doc_id"]: r["ok"]
+        for r in load_table(spark, SF, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select(
+            "doc_id",
+            (
+                (F.size(tokens_col()) >= GATE_MIN_TOKENS)
+                & (F.col("n_chars") < GATE_MAX_CHARS)
+            ).alias("ok"),
+        )
+        .collect()
+    }
+    assert gate and all(q[d]["gate_pass"] == ok for d, ok in gate.items())
+
+    # dsir_pass == (stream_dsir_ingest weight >= 0); featureless docs pass
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in SPECS["stream_dsir_ingest"].fn(spark, SF).collect()
+    }
+    for d, row in q.items():
+        assert row["dsir_pass"] == (w.get(d, 0.0) >= 0.0)
+
+    # ann_pass == not flagged by the stream_ann_ingest probe (same
+    # MOD-4 split); docs without an embedding bypass and pass
+    flagged = {
+        r["new_vec"]
+        for r in SPECS["stream_ann_ingest"].fn(spark, SF).collect()
+    }
+    have_emb = {
+        r["vec_id"]
+        for r in load_table(spark, SF, "embeddings")
+        .where(F.col("vec_id") % 4 == 0)
+        .select("vec_id")
+        .collect()
+    }
+    for d, row in q.items():
+        expect = (d not in flagged) if d in have_emb else True
+        assert row["ann_pass"] == expect, d
+
+    # admitted == AND of the four screens, every row
+    for row in q.values():
+        assert row["admitted"] == (
+            row["gate_pass"]
+            and row["dsir_pass"]
+            and row["ann_pass"]
+            and row["dup_pass"]
+        )
+    # the composition must actually drop something (at the tiny
+    # sf0.001 fixture the 4-screen conjunction can admit zero docs —
+    # the sf0.01 parity lane exercises the admit>0 side)
+    n_adm = sum(r["admitted"] for r in q.values())
+    assert n_adm < len(q)
+
+
+def test_quartet_deterministic_across_drains(spark):
+    r1 = sorted(map(tuple, SPECS["stream_screen_quartet"].fn(spark, SF).collect()))
+    r2 = sorted(map(tuple, SPECS["stream_screen_quartet"].fn(spark, SF).collect()))
+    assert r1 == r2
