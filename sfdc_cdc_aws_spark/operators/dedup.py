@@ -827,9 +827,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-@query(
-    "dedup_keep_best",
-    oracle=f"""
+# shared keep-best oracle: CC labels (recursive min-label walk) +
+# per-cluster survivor election + drop manifest. Used verbatim by
+# dedup_keep_best AND by the maintained-labels twin
+# (streaming/ingest_dedup.py::dedup_keep_best_merge — the merged
+# labels are hash-equal to from-scratch CC, so the election contract
+# is identical).
+DUCK_KEEP_BEST_SQL = f"""
 WITH RECURSIVE {_DUCK_LSH_PAIRS_CTE},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
@@ -862,29 +866,15 @@ SELECT cluster_id,
        string_agg(CASE WHEN rn > 1 THEN CAST(doc_id AS VARCHAR) END,
                   ',' ORDER BY doc_id) AS dropped_docs
 FROM sel GROUP BY cluster_id
-""",
-)
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-exact canonical selection — the batch-exact KEEP path
-    that :func:`lsh_survivor_pick` approximates bucket-locally: run
-    connected components over the LSH pair graph, then elect ONE
-    survivor per duplicate cluster (longest ``n_chars``, ties to the
-    lower ``doc_id``) and emit the drop manifest a curation pipeline
-    actually executes (per cluster: member count, the survivor, and
-    the comma-joined sorted id list of everything to delete).
+"""
 
-    Plan: labels come from the pointer-doubling CC fixpoint
-    (:func:`_connected_components`, O(log diameter) rounds); quality
-    rides in on an equi-join against a 2-column projection of
-    ``documents``; the election is ONE ``max_by`` aggregate keyed on
-    ``(n_chars, -doc_id)`` — no window, map-side partial winners —
-    and the manifest column is a post-aggregation projection over the
-    already-grouped id list. At 100 TB the shuffle after CC carries
-    (cluster_id, doc_id, n_chars) triples only; clusters are near-dup
-    families, so per-group state is bounded by family size (the same
-    Σ family² reality every pair-emitting key in this module prices).
-    """
-    labels = dedup_clusters(spark, sf_dir)
+
+def keep_best_election(
+    spark: SparkSession, sf_dir: str, labels: DataFrame
+) -> DataFrame:
+    """Survivor election + drop manifest over ANY (doc_id, cluster_id)
+    labeling: one max_by aggregate, no window (see dedup_keep_best's
+    plan discussion)."""
     j = labels.join(
         load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
         "doc_id",
@@ -917,6 +907,30 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         # break parity silently).
         F.nullif(dropped, F.lit("")).alias("dropped_docs"),
     )
+
+
+@query("dedup_keep_best", oracle=DUCK_KEEP_BEST_SQL)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-exact canonical selection — the batch-exact KEEP path
+    that :func:`lsh_survivor_pick` approximates bucket-locally: run
+    connected components over the LSH pair graph, then elect ONE
+    survivor per duplicate cluster (longest ``n_chars``, ties to the
+    lower ``doc_id``) and emit the drop manifest a curation pipeline
+    actually executes (per cluster: member count, the survivor, and
+    the comma-joined sorted id list of everything to delete).
+
+    Plan: labels come from the pointer-doubling CC fixpoint
+    (:func:`_connected_components`, O(log diameter) rounds); quality
+    rides in on an equi-join against a 2-column projection of
+    ``documents``; the election is ONE ``max_by`` aggregate keyed on
+    ``(n_chars, -doc_id)`` — no window, map-side partial winners —
+    and the manifest column is a post-aggregation projection over the
+    already-grouped id list. At 100 TB the shuffle after CC carries
+    (cluster_id, doc_id, n_chars) triples only; clusters are near-dup
+    families, so per-group state is bounded by family size (the same
+    Σ family² reality every pair-emitting key in this module prices).
+    """
+    return keep_best_election(spark, sf_dir, dedup_clusters(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

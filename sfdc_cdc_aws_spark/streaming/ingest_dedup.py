@@ -979,3 +979,25 @@ def stream_dedup_admit_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # silently reading corpus + this run's admissions
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return result
+
+
+from sfdc_cdc_aws_spark.operators.dedup import (  # noqa: E402
+    DUCK_KEEP_BEST_SQL,
+    keep_best_election,
+)
+
+
+@query("dedup_keep_best_merge", oracle=DUCK_KEEP_BEST_SQL)
+def dedup_keep_best_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_keep_best over the MAINTAINED labels: survivor election +
+    drop manifest composed on cc_label_merge's incrementally merged
+    labeling instead of a from-scratch CC fixpoint — the second of the
+    two largest x100 walls (dedup_keep_best 94.8 s, BENCH_SCALE100)
+    recast as per-batch maintenance + one linear election pass. The
+    oracle is dedup_keep_best's own recursive-CTE + election SQL,
+    unchanged: merged labels are hash-equal to from-scratch CC
+    (cc_label_merge's contract), so the election output must be
+    identical — which is exactly what this key's parity proves."""
+    return keep_best_election(
+        spark, sf_dir, cc_label_merge(spark, sf_dir)
+    )
