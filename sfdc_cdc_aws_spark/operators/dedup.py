@@ -1718,12 +1718,45 @@ def neardup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL to the uncapped oracle (an ngram-only pair has 1 vote
     and never surfaces; any output pair is in the candidate set by
     the 2-of-3 pigeonhole), so the x10 checksum anchor holds
-    unchanged. At 100 TB: three narrow signature shuffles + one
-    candidate-keyed verify join + one pair-keyed count."""
-    m = (
+    unchanged. At 100 TB: ONE pair-keyed shuffle + a map-side
+    broadcast verify — the generator legs stream straight into the
+    vote aggregate (never materialized: the simhash leg's 16-bit
+    value classes are VOCABULARY-bound — measured 1763 distinct
+    values at sf0.1 — so its pair count grows quadratically with
+    corpus size, ~420M rows at x100; checkpointing or re-shuffling
+    that relation is the cost ceiling), and the ngram verdict is
+    decided per GROUPED pair by two broadcast hash joins against the
+    narrow per-doc shingle-set relation (O(corpus) build, pairs never
+    move again) + one array_intersect in whole-stage codegen."""
+    # Method votes travel as BIT FLAGS (minhash=1, ngram=2,
+    # simhash=4); the provenance string is reconstructed from the
+    # bit_or'd mask after aggregation, flag values alphabetical so
+    # the rendered order matches the oracle's sorted string_agg.
+    #
+    # THE decisive plan property: no O(pair-space) shuffle, ever.
+    # The simhash pair stream is ~402M rows at x100 and the measured
+    # cost of shuffling it into a pair-keyed aggregate is ~1300 s —
+    # the whole old wall. Instead every pair row decides its fate
+    # MAP-SIDE (ngram verdict via the broadcast shingle sets;
+    # minhash-membership via a broadcast of the 27M minhash pairs):
+    # a simhash pair that fails ngram and is not a minhash pair can
+    # never reach 2 votes, so it dies in the scan stage and only the
+    # ~|output|-sized survivor stream shuffles into the final
+    # bit_or. Over-keeping would be harmless (bit_count of the
+    # merged mask is the vote count), which is why at 100 TB the
+    # broadcast-of-m can be swapped for a bloom filter
+    # (might_contain's false positives only pad the small shuffle,
+    # never the result).
+    # persist (serialized columnar cache), NOT localCheckpoint: at
+    # x100 localCheckpoint stores ~27M deserialized InternalRow
+    # objects and measured 572 s against a 23 s compute (GC-locker
+    # storms in the JVM log); the serialized cache costs roughly the
+    # compute itself and both consumers (the vote stream and the
+    # membership broadcast) share it.
+    m0 = (
         minhash_lsh_dedup(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .persist()
     )
     # materialize the signature relation once: the self-join would
     # otherwise recompute the 16-bit vote aggregate on BOTH sides
@@ -1731,7 +1764,7 @@ def neardup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         simhash_dedup(spark, sf_dir)
         .select("doc_id", "simhash")
-        .localCheckpoint()
+        .persist()
     )
     sp = (
         s.alias("a")
@@ -1741,9 +1774,7 @@ def neardup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .localCheckpoint()
     )
-    cand = m.unionByName(sp).distinct()
     # per-doc distinct shingle-hash set, computed ONCE for both join
     # sides (the rhp_lsh_neardup round-11 lesson: an unmaterialized
     # relation consumed by two sides of a join runs twice)
@@ -1758,45 +1789,82 @@ def neardup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hs"),
         )
         .withColumn("n", F.size("hs"))
-        .localCheckpoint()
+        .persist()
     )
-    a = shs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("hs").alias("hs_a"),
-        F.col("n").alias("na"),
+    a = F.broadcast(
+        shs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("lang").alias("lang_a"),
+            F.col("hs").alias("hs_a"),
+            F.col("n").alias("na"),
+        )
     )
-    b = shs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("hs").alias("hs_b"),
-        F.col("n").alias("nb"),
+    b = F.broadcast(
+        shs.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("hs").alias("hs_b"),
+            F.col("n").alias("nb"),
+        )
     )
+    # LEFT joins: a doc with <4 tokens has no shingle row and simply
+    # cannot earn the ngram vote
     n_common = F.size(F.array_intersect("hs_a", "hs_b"))
-    ng = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .where(F.col("lang_a") == F.col("lang_b"))
-        .withColumn("n_common", n_common)
-        .where(
-            F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common"))
+    ngram_ok = (
+        F.col("lang_a").isNotNull()
+        & (F.col("lang_a") == F.col("lang_b"))
+        & (
+            n_common.cast("double")
+            / (F.col("na") + F.col("nb") - n_common)
             >= JACCARD_MIN
         )
-        .select("doc_a", "doc_b")
     )
-    votes = (
-        m.withColumn("method", F.lit("minhash"))
-        .unionByName(ng.withColumn("method", F.lit("ngram")))
-        .unionByName(sp.withColumn("method", F.lit("simhash")))
+
+    def _with_ok(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(a, "doc_a", "left")
+            .join(b, "doc_b", "left")
+            .withColumn("ok", F.coalesce(ngram_ok, F.lit(False)))
+        )
+
+    mv = _with_ok(m0).select(
+        "doc_a",
+        "doc_b",
+        (F.lit(1) + F.when(F.col("ok"), 2).otherwise(0)).alias("mpart"),
+    )
+    mkeys = F.broadcast(m0.withColumn("in_m", F.lit(True)))
+    spv = (
+        _with_ok(sp)
+        .join(mkeys, ["doc_a", "doc_b"], "left")
+        .where(F.col("ok") | F.col("in_m").isNotNull())
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.lit(4) + F.when(F.col("ok"), 2).otherwise(0)).alias("mpart"),
+        )
+    )
+    g = (
+        mv.unionByName(spv)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.bit_or("mpart").alias("mask"))
+    )
+    methods = F.array_join(
+        F.filter(
+            F.array(
+                F.when(F.col("mask").bitwiseAND(1) > 0, F.lit("minhash")),
+                F.when(F.col("mask").bitwiseAND(2) > 0, F.lit("ngram")),
+                F.when(F.col("mask").bitwiseAND(4) > 0, F.lit("simhash")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
     )
     return (
-        votes.groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").cast("bigint").alias("n_votes"),
-            F.array_join(F.sort_array(F.collect_list("method")), ",").alias(
-                "methods"
-            ),
+        g.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count("mask").cast("bigint").alias("n_votes"),
+            methods.alias("methods"),
         )
         .where(F.col("n_votes") >= ENSEMBLE_MIN_VOTES)
     )

@@ -2,13 +2,16 @@
 against the standing corpus's MinHash/LSH band index.
 
 This is the composition a production training-data pipeline actually
-runs: the corpus index is a materialized table (here the static side
-of a stream-static join; at real scale a bucketed table on
-(band_id, bucket) so each micro-batch joins without shuffling the
-index), and every arriving crawl shard probes it for near-duplicates
-before admission. The batch dedup family (operators/dedup.py) answers
-"what is duplicated in the corpus"; this answers "is the NEW thing a
-duplicate" without recomputing the corpus.
+runs: the corpus index is a materialized table (the static side of a
+stream-static join; stream_dedup_admit_bucketed realizes the 100 TB
+layout — a BUCKETED table on (band_id, bucket) probed and appended
+with zero exchanges on the index side), and every arriving crawl
+shard probes it for near-duplicates before admission. The batch dedup
+family (operators/dedup.py) answers "what is duplicated in the
+corpus"; this answers "is the NEW thing a duplicate" without
+recomputing the corpus — and the *_merge keys fold admitted arrivals
+back into the index, the labels, and the survivor manifest, so the
+corpus the NEXT batch probes is never stale.
 
 Reference parity: the stream-side plumbing mirrors the CDC landing
 pattern (streaming/job.py:55-78); the reference itself has no dedup —
