@@ -107,15 +107,6 @@ CHECKSUM_KEYS = {
         "CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR) || '|' "
         "|| CAST(n_votes AS VARCHAR) || '|' || methods",
     ),
-    # embedding_neardup is NOT in the x100 lane (yet): its ×100 cost
-    # is ~30 min of genuine Σ cell² cosine work (1.25B 64-dim pairs at
-    # 200k vectors / 16 cells — fixture-quadratic, like the other
-    # pair keys), which round 10 made fully parallel (the pair join
-    # was capped at N_CENTROIDS=16 tasks; it now salt-splits on
-    # (cell, vec_id % EMB_PAIR_SALT), see similarity.py) but did not
-    # have lane budget to record. Its 10× point lives in
-    # BENCH_SCALE_FULL; the checksum spec below is ready for the ×10
-    # verdict when the key is added.
     "embedding_neardup": (
         # cos_sim is rounded to 6 places by the operator; scale to an
         # integer in BOTH engines before hashing so float-to-string
@@ -290,31 +281,25 @@ EXPLANATIONS = {
     ),
     "neardup_ensemble_vote": (
         "pair-space key: the x100 fixture grades near-dup families "
-        "of 100 replicas, so the true-duplicate pair space grows "
-        "with family^2 by construction — output rows went 177,604 "
-        "(x10) to 25,493,586 (x100), a 144x blow-up, while wall grew "
-        "31x: SUBLINEAR in output. The d2 wall is dominated by the "
-        "ngram leg's hot-shingle intersection tail (the synthetic "
-        "30-word vocab makes some 4-gram posting lists corpus-wide); "
-        "the same blow-up is priced by the uncapped oracle "
-        "(checksum-verified at x10, >100 GB in-memory at x100 — see "
-        "oracle_exemption). Round-10 verdict item 5 adjudication: "
-        "the ngram candidates ALREADY flow through the capped "
-        "salt-split path (the ensemble composes ngram_jaccard_dedup, "
-        "whose posting lists route via salted_bucket_pairs with "
-        "NGRAM_POSTING_CAP — dedup.py; the cap bounds work-unit and "
-        "shuffle-key width, it cannot shrink the irreducible "
-        "sum-of-list-squares pair space that exact Jaccard over a "
-        "30-word vocab demands). The remaining exact reducers do not "
-        "apply: replicas are PERTURBED (gen_scale_fixture rewrites "
-        "every (8+4r)-th token), so identical-shingle-set collapse "
-        "finds only singletons; document-frequency pruning or "
-        "AllPairs/PPJoin prefix filtering change the candidate "
-        "semantics or relocate (not remove) the verify cost at "
-        "family Jaccard ~0.5-0.8, and would break the x10 checksum "
-        "anchor against the uncapped oracle. The ensemble pays the "
-        "uncapped tail because its spec is exact-Jaccard votes; the "
-        "wall stays sublinear in output, which is the scale contract"
+        "of 100 replicas, so true-duplicate pairs grow family^2 — "
+        "output went 177,604 (x10) to 25,493,586 (x100), 144x; the "
+        "simhash leg's 16-bit equality classes are vocabulary-bound "
+        "(1763 distinct values at sf0.1), so its enumerated pair "
+        "stream is ~402M rows at x100. Round 12 rebuilt the plan so "
+        "nothing pair-spaced ever SHUFFLES (round-11 verdict item "
+        "5): PPJoin cannot feed the vote at the ensemble's theta = "
+        "0.01 (prefix length ~ |d|, zero elimination), but the "
+        "2-of-3 vote algebra is stronger — the ngram verdict is "
+        "decided map-side per pair (broadcast per-doc shingle sets "
+        "+ array_intersect in codegen) and a simhash-only pair that "
+        "fails it can never reach 2 votes, so it dies in the scan "
+        "stage; the measured 1316 s x100 cost of the old 429M-row "
+        "pair-keyed aggregate is gone (wall 1103 s -> ~245 s cold, "
+        "identical output, x10 checksum re-anchored). The remaining "
+        "decade-2 ratio is the irreducible map-side verify over the "
+        "spec's own simhash pair enumeration plus the 144x output "
+        "growth — both priced identically by the uncapped oracle "
+        "(>100 GB in DuckDB at x100, see oracle_exemption)"
     ),
     "embedding_neardup": (
         "pair-space key: intra-cell pair output grows with "
