@@ -263,6 +263,18 @@ SUPERLINEAR_BAR = 10.5
 # BENCH_SCALE_FULL's in-artifact explanations; the artifact's
 # superlinear_unexplained list must stay empty (test-pinned).
 EXPLANATIONS = {
+    "stream_dedup_admit_merge": (
+        "pair-space + per-batch-fixed key: each of the 4 micro-"
+        "batches probes ~31k arrival docs' band rows against the "
+        "growing index, and the fixture's family^2 density makes "
+        "the per-batch probe intermediate grow ~quadratically with "
+        "corpus scale (the minhash_lsh_dedup reality restricted to "
+        "arrival-incident pairs, ~44% of the 26.9M-pair relation); "
+        "on top, availableNow pays 4x fixed drain scaffolding "
+        "(checkpoint + delta-dir commits) per run. The x100 "
+        "chained-CTE oracle verifies the order-dependent admission "
+        "exactly (MATCH_CHECKSUM over all 125k verdicts)"
+    ),
     "dsir_importance_weights": (
         "round-9's d2=11.15 (155 s) was the single-row-group fixture "
         "serializing the scan+explode onto one core; with the "
