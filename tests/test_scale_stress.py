@@ -153,9 +153,20 @@ def test_scale100_lane_artifact():
     for key, row in rep["keys"].items():
         verdict = str(row.get("oracle_at_100x", "MATCH"))
         assert verdict.startswith(
-            ("MATCH", "INVARIANTS_OK", "EXEMPT(MATCH", "ELECTION_ORACLE_OK")
+            (
+                "MATCH",
+                "INVARIANTS_OK",
+                "EXEMPT(MATCH",
+                "ELECTION_ORACLE_OK",
+                # round 12: incremental maintenance keys prove x100
+                # equality against the (invariant-proven) from-scratch
+                # Spark recompute by fingerprint
+                "MERGE_EQUALS_SCRATCH",
+            )
         ), (key, verdict)
-        if verdict.startswith(("INVARIANTS_OK", "EXEMPT(")):
+        if verdict.startswith(
+            ("INVARIANTS_OK", "EXEMPT(", "MERGE_EQUALS_SCRATCH")
+        ):
             assert row.get("oracle_exemption"), key
         if verdict.startswith("MATCH_TOL"):
             assert row["max_abs_diff"] <= 2e-6, (key, row)
