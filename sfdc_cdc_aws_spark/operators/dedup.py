@@ -1630,6 +1630,10 @@ def edit_verify_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ENSEMBLE_MIN_VOTES = 2
 
+#: DataFrames persist()ed by the PREVIOUS neardup_ensemble_vote call,
+#: released on the next call (see the in-function comment)
+_ENSEMBLE_CACHED: list = []
+
 
 @query(
     "neardup_ensemble_vote",
@@ -1747,12 +1751,27 @@ def neardup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast-of-m can be swapped for a bloom filter
     # (might_contain's false positives only pad the small shuffle,
     # never the result).
+    # The candidate set (minhash ∪ simhash) drops ngram-only pairs by
+    # the 2-of-3 pigeonhole — an algebra that is only sound while the
+    # threshold is exactly 2. Lowering it to 1 would silently lose
+    # every ngram-only pair the oracle keeps, so the coupling must
+    # fail loudly instead (round-12 ADVICE).
+    assert ENSEMBLE_MIN_VOTES == 2, (
+        "candidate-set construction assumes the 2-of-3 pigeonhole; "
+        "re-add an ngram generator leg before changing the threshold"
+    )
     # persist (serialized columnar cache), NOT localCheckpoint: at
     # x100 localCheckpoint stores ~27M deserialized InternalRow
     # objects and measured 572 s against a 23 s compute (GC-locker
     # storms in the JVM log); the serialized cache costs roughly the
     # compute itself and both consumers (the vote stream and the
-    # membership broadcast) share it.
+    # membership broadcast) share it. The caller materializes the
+    # returned plan, so the three caches cannot drop inside this
+    # function — instead the PREVIOUS invocation's caches release on
+    # the next call (round-12 ADVICE: repeated bench/parity
+    # invocations in one session must not accumulate cached blocks).
+    while _ENSEMBLE_CACHED:
+        _ENSEMBLE_CACHED.pop().unpersist()
     m0 = (
         minhash_lsh_dedup(spark, sf_dir)
         .select("doc_a", "doc_b")
@@ -1791,6 +1810,7 @@ def neardup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("hs"))
         .persist()
     )
+    _ENSEMBLE_CACHED.extend((m0, s, shs))
     a = F.broadcast(
         shs.select(
             F.col("doc_id").alias("doc_a"),

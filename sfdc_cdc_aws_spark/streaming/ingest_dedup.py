@@ -302,7 +302,26 @@ def minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: replay the exact same admission order without knowing file layout
 N_ADMIT_BATCHES = 4
 
-_ADMIT_REV = "a1"
+# a2: rev bump forces hosts carrying pre-stamping "a1" fixtures to
+# regenerate (round-12 ADVICE — stale fixtures kept write-latency
+# batch order); stamping below is additionally unconditional
+_ADMIT_REV = "a2"
+
+
+def stamp_batch_mtimes(out: str, base_mtime: float, n_batches: int) -> None:
+    """Batch order must NEVER depend on write latency: N small
+    sequential writes can land in the same mtime tick, and
+    FileStreamSource's tie ordering is not a documented contract.
+    Stamp each batch dir's files with explicitly increasing
+    timestamps (1 s apart) so mtime order == batch order by
+    construction. Called UNCONDITIONALLY on every ensure_* call —
+    a fixture written by an older revision (or a copied/restored
+    /tmp) must not keep latency-dependent order (round-12 ADVICE)."""
+    for b in range(n_batches):
+        bdir = os.path.join(out, f"b{b}")
+        ts = base_mtime + 10 + b
+        for fn in os.listdir(bdir):
+            os.utime(os.path.join(bdir, fn), (ts, ts))
 
 
 def ensure_admit_landing(
@@ -339,17 +358,9 @@ def ensure_admit_landing(
                 .write.mode("overwrite")
                 .parquet(bdir)
             )
-            # batch order must NEVER depend on write latency: four
-            # small sequential writes can land in the same mtime tick,
-            # and FileStreamSource's tie ordering is not a documented
-            # contract. Stamp each batch's files with explicitly
-            # increasing timestamps (1s apart) so mtime order == batch
-            # order by construction.
-            ts = st.st_mtime + 10 + b
-            for fn in os.listdir(bdir):
-                os.utime(os.path.join(bdir, fn), (ts, ts))
         with open(os.path.join(out, "_SUCCESS_ALL"), "w") as f:
             f.write("ok")
+    stamp_batch_mtimes(out, st.st_mtime, N_ADMIT_BATCHES)
     return out
 
 
@@ -424,6 +435,29 @@ def admit_state_base(landing: str) -> str:
     return f"/tmp/sfdc_admit_state/{os.path.basename(landing)}"
 
 
+def acquire_state_lock(state: str) -> int:
+    """Exclusive advisory lock on a drain's deterministic state root
+    (round-12 ADVICE): two concurrent drains of the same fixture
+    (pytest-xdist, parallel bench lanes) would share one streaming
+    checkpoint and overwrite each other's delta dirs. flock releases
+    automatically when the holder dies — including SIGKILL — so the
+    kill-and-resume drill is unaffected. Returns the fd to close when
+    the drain finishes; raises if another drain holds the root."""
+    import fcntl
+
+    os.makedirs(os.path.dirname(state) or "/", exist_ok=True)
+    fd = os.open(f"{state}.lock", os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except BlockingIOError:
+        os.close(fd)
+        raise RuntimeError(
+            f"another drain holds {state}.lock — one drain at a time "
+            "per fixture state root"
+        ) from None
+    return fd
+
+
 def run_admit_drain(
     spark: SparkSession,
     sf_dir: str,
@@ -444,6 +478,7 @@ def run_admit_drain(
     landing = ensure_admit_landing(spark, sf_dir)
     corpus_dir = ensure_band_index(spark, sf_dir)
     state = admit_state_base(landing)
+    lock_fd = acquire_state_lock(state)
     delta_base = f"{state}/delta"
     verdict_base = f"{state}/verdicts"
     ckpt = f"{state}/ckpt"
@@ -523,10 +558,11 @@ def run_admit_drain(
         # cleanup runs on the in-process failure path too (a failed
         # drain must not leak /tmp state — round-11 ADVICE). A SIGKILL
         # never reaches this finally, which is exactly the point: the
-        # killed run's state persists on disk and the next invocation
-        # resumes from it.
+        # killed run's state persists on disk (and the kernel releases
+        # its flock) so the next invocation resumes from it.
         if not keep_state:
             shutil.rmtree(state, ignore_errors=True)
+        os.close(lock_fd)
     return result
 
 
@@ -764,12 +800,17 @@ def ensure_band_index_table(
     base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     tag = f"{base}_{_src_fingerprint(sf_dir, ('documents',))}"
     tbl = f"band_idx_bkt_{tag}"
+    # stale-variant cleanup is keyed to THIS fixture's basename only
+    # (round-12 ADVICE): alternating between two fixtures (sf0.001
+    # tests, then sf0.1 bench) must not thrash the other fixture's
+    # index build — one live table per fixture, stale fingerprints of
+    # the same fixture dropped.
     for t in spark.catalog.listTables():
-        if t.name.startswith("band_idx_bkt_") and t.name != tbl:
+        if t.name.startswith(f"band_idx_bkt_{base}_") and t.name != tbl:
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     if os.path.isdir("/tmp/sfdc_bucketed_idx"):
         for d in os.listdir("/tmp/sfdc_bucketed_idx"):
-            if d != tag:
+            if d.startswith(f"{base}_") and d != tag:
                 shutil.rmtree(
                     os.path.join("/tmp/sfdc_bucketed_idx", d),
                     ignore_errors=True,

@@ -54,7 +54,9 @@ from sfdc_cdc_aws_spark.streaming.ingest_ann import _probe_cells_expr
 from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
     ARRIVAL_MOD,
     N_ADMIT_BATCHES,
+    acquire_state_lock,
     ensure_band_index,
+    stamp_batch_mtimes,
 )
 from sfdc_cdc_aws_spark.streaming.ingest_dsir import ensure_dsir_model
 from sfdc_cdc_aws_spark.streaming.quality_gate import (
@@ -63,7 +65,9 @@ from sfdc_cdc_aws_spark.streaming.quality_gate import (
     _gate_pass,
 )
 
-_LANDING_REV = "q1"
+# q2: rev bump regenerates pre-stamping "q1" fixtures (round-12
+# ADVICE); stamping below is additionally unconditional
+_LANDING_REV = "q2"
 
 
 def ensure_quartet_landing(
@@ -102,11 +106,9 @@ def ensure_quartet_landing(
                 .write.mode("overwrite")
                 .parquet(bdir)
             )
-            ts = st.st_mtime + 10 + b
-            for fn in os.listdir(bdir):
-                os.utime(os.path.join(bdir, fn), (ts, ts))
         with open(os.path.join(out, "_SUCCESS_ALL"), "w") as f:
             f.write("ok")
+    stamp_batch_mtimes(out, st.st_mtime, N_ADMIT_BATCHES)
     return out
 
 
@@ -361,6 +363,7 @@ def stream_screen_quartet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     state = f"/tmp/sfdc_quartet_state/{os.path.basename(landing)}"
+    lock_fd = acquire_state_lock(state)
     delta_base = f"{state}/delta"
     verdict_base = f"{state}/verdicts"
     ckpt = f"{state}/ckpt"
@@ -499,4 +502,5 @@ def stream_screen_quartet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(state, ignore_errors=True)
+        os.close(lock_fd)
     return result
