@@ -607,14 +607,14 @@ vocab AS (
 bigc AS (SELECT w1, w2, count(*) AS bc FROM occ GROUP BY w1, w2),
 scored AS (
   SELECT o.doc_id,
-         CAST(round(ln((b.bc + 1.0) / (u.uc + vocab.v)), 9)
-              AS DECIMAL(28,9)) AS lp
+         CAST(round(ln((b.bc + 1.0) / (u.uc + vocab.v)) * 1000000000, 0)
+              AS BIGINT) AS lp_e9
   FROM occ o
   JOIN bigc b ON b.w1 = o.w1 AND b.w2 = o.w2
   JOIN uni u ON u.w = o.w1, vocab
 )
 SELECT doc_id, count(*) AS n_bigrams,
-       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
+       CAST(sum(lp_e9) AS BIGINT) AS lp_sum_e9
 FROM scored GROUP BY doc_id
 """,
 )
@@ -633,9 +633,17 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     relations — shuffles on the count keys, narrow rows (hashing the
     join keys would narrow further; kept as strings so the oracle is
     transparent). Token arrays materialize once per doc behind the
-    explode barrier. Per-bigram log-probs round to 9 places and sum
-    in DECIMAL(28,9) so both engines associate identically; the
-    |V| scalar rides a 1-row broadcast."""
+    explode barrier.
+
+    Float discipline (round-12 verdict item 6): each bigram's
+    log-prob quantizes ONCE to integer nano-units
+    (round(ln(p)·1e9) AS BIGINT) and the per-doc statistic is the
+    EXACT integer sum — no summed double ever re-rounds, so there is
+    no HALF_UP boundary at the aggregate level and the hashed value
+    is bit-identical across engines. The mean score a consumer wants
+    is lp_sum_e9 / n_bigrams / 1e9; the per-term 1e-9 quantization
+    is the same tolerance the old 9-dp decimal carried. The |V|
+    scalar rides a 1-row broadcast."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens_col().alias("t")).where(F.size("t") >= 2)
     ex = toks.select(
@@ -652,18 +660,20 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigc = occ.groupBy(
         F.col("w1").alias("b_w1"), F.col("w2").alias("b_w2")
     ).agg(F.count("*").alias("bc"))
-    lp = F.round(
-        F.log((F.col("bc") + F.lit(1.0)) / (F.col("uc") + F.col("v"))), 9
-    ).cast("decimal(28,9)")
+    lp_e9 = F.round(
+        F.log((F.col("bc") + F.lit(1.0)) / (F.col("uc") + F.col("v")))
+        * 1_000_000_000,
+        0,
+    ).cast("bigint")
     scored = (
         occ.join(bigc, (F.col("b_w1") == F.col("w1")) & (F.col("b_w2") == F.col("w2")))
         .join(uni, F.col("w") == F.col("w1"))
         .crossJoin(vocab)
-        .select("doc_id", lp.alias("lp"))
+        .select("doc_id", lp_e9.alias("lp_e9"))
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("lm_score"),
+        F.sum("lp_e9").alias("lp_sum_e9"),
     )
 
 
@@ -728,8 +738,9 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch and the scoring branch reuse it instead of re-scanning.
     df and the (avgdl, N) scalars broadcast; the dl join is gone —
     dl rides along inside the per-doc row. Per-term contributions
-    round to 9 places and sum in DECIMAL(28,9) — the same
-    cross-engine float discipline as bigram_lm_score."""
+    round to 9 places and sum in DECIMAL(28,9); the final 6-dp
+    double is tolerance-laned in the x100 campaign (FLOAT_COLS —
+    bigram_lm_score went further and hashes an exact integer sum)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens_col()).alias("term"))
     per_doc = (
