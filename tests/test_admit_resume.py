@@ -19,8 +19,10 @@ import sys
 
 from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
     admit_state_base,
+    bkt_admit_state_base,
     ensure_admit_landing,
     run_admit_drain,
+    run_admit_drain_bucketed,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -32,6 +34,16 @@ from sfdc_cdc_aws_spark.streaming.ingest_dedup import run_admit_drain
 
 spark = get_session("admit_kill_drill", cpus=4)
 run_admit_drain(spark, sys.argv[1], keep_state=True, kill_after_batch=1)
+raise SystemExit("unreachable: the drain should have SIGKILLed itself")
+"""
+
+_KILL_SCRIPT_BKT = """
+import sys
+from sfdc_cdc_aws_spark.session import get_session
+from sfdc_cdc_aws_spark.streaming.ingest_dedup import run_admit_drain_bucketed
+
+spark = get_session("admit_kill_drill_bkt", cpus=4)
+run_admit_drain_bucketed(spark, sys.argv[1], keep_state=True, kill_after_batch=1)
 raise SystemExit("unreachable: the drain should have SIGKILLed itself")
 """
 
@@ -84,3 +96,65 @@ def test_sigkill_mid_drain_then_resume_matches_uninterrupted(spark):
     # verdict equality implies index equality: the fold-back deltas
     # are a deterministic function of the admitted doc set
     assert not os.path.exists(state)
+
+
+def test_sigkill_mid_drain_then_resume_bucketed(spark):
+    """The same torn-window drill on the PARTITIONED + bucketed admit
+    table (round-12 verdict item 2): batch 1's partition commits via
+    dynamic-partition-overwrite insertInto, the process dies before
+    the checkpoint commit, and the resumed drain — which re-executes
+    batch 1 against an index pruned to commits < 1, then overwrites
+    partition 1 idempotently — must equal the uninterrupted run."""
+    from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
+        _admit_bkt_path,
+        ensure_admit_bkt_table,
+    )
+
+    landing = ensure_admit_landing(spark, SF)
+    state = bkt_admit_state_base(landing)
+
+    shutil.rmtree(state, ignore_errors=True)
+    baseline = sorted(map(tuple, run_admit_drain_bucketed(spark, SF).collect()))
+    assert not os.path.exists(state), "successful drain must not leak state"
+    tbl = ensure_admit_bkt_table(spark, SF)
+    tpath = _admit_bkt_path(tbl)
+    # successful drain resets the table to the pristine corpus
+    assert os.path.isdir(os.path.join(tpath, "commit_batch=-1"))
+    assert not any(
+        d.startswith("commit_batch=") and d != "commit_batch=-1"
+        for d in os.listdir(tpath)
+    ), "admission partitions must be cleared after a successful drain"
+
+    proc = subprocess.run(
+        [sys.executable, "-c", _KILL_SCRIPT_BKT, SF],
+        start_new_session=True,
+        timeout=600,
+    )
+    assert proc.returncode == -9
+
+    # torn window: batches 0/1 committed their partitions + verdicts,
+    # batch 1's checkpoint commit is missing, batches 2/3 never ran
+    for b in (0, 1):
+        assert os.path.exists(f"{state}/verdicts/b{b}/_SUCCESS")
+    part_dirs = {
+        d for d in os.listdir(tpath) if d.startswith("commit_batch=")
+    }
+    assert "commit_batch=0" in part_dirs and "commit_batch=1" in part_dirs
+    assert "commit_batch=2" not in part_dirs
+    commits = os.path.join(state, "ckpt", "commits")
+    committed = {
+        n for n in os.listdir(commits) if not n.startswith(".")
+    } if os.path.isdir(commits) else set()
+    assert "1" not in committed, "batch 1 must be UNcommitted (torn)"
+
+    resumed = sorted(map(tuple, run_admit_drain_bucketed(spark, SF).collect()))
+    assert resumed == baseline, "resumed verdicts != uninterrupted run"
+    assert not os.path.exists(state)
+
+
+def test_both_admit_paths_agree(spark):
+    """The delta-dir and partitioned-bucketed admit loops implement
+    the SAME admission semantics — verdict-for-verdict equality."""
+    a = sorted(map(tuple, run_admit_drain(spark, SF).collect()))
+    b = sorted(map(tuple, run_admit_drain_bucketed(spark, SF).collect()))
+    assert a == b

@@ -706,24 +706,40 @@ def test_bucketed_index_merge_state_branch_exchange_free(spark):
 
 
 def test_bucketed_admit_probe_only_batch_side_shuffles(spark):
-    """stream_dedup_admit_bucketed's per-batch probe: the bucketed
-    index FileScan feeds the sort-merge join directly off its bucket
-    files; the only exchange is the (small) batch side's band rows."""
+    """stream_dedup_admit_bucketed's per-batch probe against the
+    PARTITIONED + bucketed admit table: partition pruning keeps only
+    commits < b, the index FileScan feeds the sort-merge join
+    directly off its bucket files, and the only exchange is the
+    (small) batch side's band rows."""
     from sfdc_cdc_aws_spark.plans.introspect import plan_string
     from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
-        admit_probe_plan,
-        ensure_band_index_table,
+        admit_bkt_probe_plan,
+        ensure_admit_bkt_table,
         ensure_doc_landing,
     )
 
-    tbl = ensure_band_index_table(spark, SF, fresh=True)
+    tbl = ensure_admit_bkt_table(spark, SF)
     batch = spark.read.parquet(ensure_doc_landing(spark, SF))
-    probe = admit_probe_plan(spark, batch, tbl)
+    probe = admit_bkt_probe_plan(spark, batch, tbl, batch_id=2)
     probe.count()
     assert exchange_count(probe) == 1
     plan = plan_string(probe)
     assert "SortMergeJoin" in plan
+    # partition pruning reaches the scan: the index "as of" batch 2
+    assert "commit_batch" in plan and "PartitionFilters" in plan
     # the exchange partitions on the probe's band columns, never on
     # the index side (whose scan carries the table name)
-    idx_scan = [ln for ln in plan.splitlines() if "band_idx_bkt_" in ln]
+    idx_scan = [ln for ln in plan.splitlines() if "admit_bkt_" in ln]
     assert idx_scan and all("Exchange" not in ln for ln in idx_scan)
+
+
+def test_bucketed_index_merge_state_table_still_builds(spark):
+    """ensure_band_index_table (the index-merge aggregation's state
+    table) stays read-only and buildable after the admit loop moved
+    to its own partitioned table."""
+    from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
+        ensure_band_index_table,
+    )
+
+    tbl = ensure_band_index_table(spark, SF)
+    assert spark.table(tbl).count() > 0
