@@ -8,9 +8,10 @@ stream_dsir_ingest, stream_minhash_ingest/stream_dedup_admit_merge,
 stream_ann_ingest); production ingests ONCE, so the composition is
 the real product shape: a single foreachBatch computes every verdict
 over the same arriving rows, admits docs passing all four, and folds
-the admitted docs' band rows back into the dup index before the next
-batch probes (only the dup screen is stateful; the vector fold-back
-twin is proven separately by ivf_index_merge). The DuckDB oracle
+the admitted docs' band rows into the dup index AND their vectors
+into the ANN index before the next batch probes (both similarity
+screens are stateful; the vector fold-back algebra is
+ivf_index_merge's, composed into the drain). The DuckDB oracle
 replays the identical order-dependent admission as chained CTEs —
 the stream_dedup_admit_merge discipline, extended with the three
 stateless screens' predicates.
@@ -114,10 +115,15 @@ def ensure_quartet_landing(
 
 def _quartet_oracle() -> str:
     """Chained-CTE replay of the composed admission: per batch b, a
-    doc is ADMITTED iff it passes the three stateless screens (gate,
-    DSIR, ANN) and shares no LSH band bucket with the dup index as of
-    batch b (corpus ∪ prior ADMITTED arrivals — only fully admitted
-    docs join the corpus, so only they fold into the index)."""
+    doc is ADMITTED iff it passes the two stateless screens (gate,
+    DSIR), has no near-vector in the ANN index as of batch b, and
+    shares no LSH band bucket with the dup index as of batch b. BOTH
+    stateful indexes fold forward (round-12 verdict item 4): the dup
+    index is corpus bands ∪ bands of prior admitted arrivals, and
+    the vector index is corpus-split vectors ∪ vectors of prior
+    admitted arrivals, each arrival vector entering at its top-1 IVF
+    cell — so an arrival whose near-vector twin was admitted three
+    batches earlier is caught, exactly like the dup screen."""
     batch = f"((doc_id // {ARRIVAL_MOD}) % {N_ADMIT_BATCHES})"
     dsir_alpha_cte = f"""
 arrivals AS (
@@ -186,8 +192,8 @@ vcents AS (
   SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
   WHERE vec_id < {N_CENTROIDS}
 ),
-vcorpus AS (
-  SELECT vec_id, embedding, cent_id FROM (
+vidx0 AS (
+  SELECT cent_id, embedding FROM (
     SELECT e.vec_id, e.embedding, c.cent_id,
            row_number() OVER (
              PARTITION BY e.vec_id
@@ -201,6 +207,16 @@ varr AS (
   SELECT vec_id, embedding FROM embeddings
   WHERE vec_id % {ARRIVAL_MOD} = 0
 ),
+vassign AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT a.vec_id, a.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {DUCK_COSINE.format(a='a.embedding', b='c.c_emb')} DESC,
+                      c.cent_id) AS rn
+    FROM varr a, vcents c
+  ) WHERE rn = 1
+),
 vprobes AS (
   SELECT query_id, cent_id FROM (
     SELECT a.vec_id AS query_id, c.cent_id,
@@ -211,24 +227,9 @@ vprobes AS (
     FROM varr a, vcents c
   ) WHERE rn <= {N_PROBE}
 ),
-annhit AS (
-  SELECT DISTINCT p.query_id AS doc_id
-  FROM vprobes p
-  JOIN vcorpus s ON s.cent_id = p.cent_id
-  JOIN varr a ON a.vec_id = p.query_id
-  WHERE {DUCK_COSINE.format(a='a.embedding', b='s.embedding')}
-        >= {NEARDUP_COS}
-),
-ann AS (
-  SELECT ar.doc_id, (h.doc_id IS NULL) AS ann_pass
-  FROM arrivals ar LEFT JOIN annhit h ON ar.doc_id = h.doc_id
-),
-elig AS (
-  SELECT g.doc_id,
-         (g.gate_pass AND d.dsir_pass AND an.ann_pass) AS others_pass
-  FROM gate g
-  JOIN dsir d ON g.doc_id = d.doc_id
-  JOIN ann an ON g.doc_id = an.doc_id
+gd AS (
+  SELECT g.doc_id, (g.gate_pass AND d.dsir_pass) AS gd_pass
+  FROM gate g JOIN dsir d ON g.doc_id = d.doc_id
 )"""
     parts = [
         f"WITH {_DUCK_SIG_CTE},",
@@ -255,10 +256,22 @@ elig AS (
 ),"""
         )
         parts.append(
+            f"""annrej{b} AS (
+  SELECT DISTINCT p.query_id AS doc_id
+  FROM vprobes p
+  JOIN vidx{b} s ON s.cent_id = p.cent_id
+  JOIN varr a ON a.vec_id = p.query_id
+  WHERE {DUCK_COSINE.format(a='a.embedding', b='s.embedding')}
+        >= {NEARDUP_COS}
+    AND ((p.query_id // {ARRIVAL_MOD}) % {N_ADMIT_BATCHES}) = {b}
+),"""
+        )
+        parts.append(
             f"""adm{b} AS (
-  SELECT ar.doc_id FROM arrivals ar JOIN elig e ON ar.doc_id = e.doc_id
-  WHERE ar.batch_id = {b} AND e.others_pass
+  SELECT ar.doc_id FROM arrivals ar JOIN gd e ON ar.doc_id = e.doc_id
+  WHERE ar.batch_id = {b} AND e.gd_pass
     AND ar.doc_id NOT IN (SELECT doc_id FROM rej{b})
+    AND ar.doc_id NOT IN (SELECT doc_id FROM annrej{b})
 ),"""
         )
         if b < N_ADMIT_BATCHES - 1:
@@ -270,23 +283,35 @@ elig AS (
   WHERE doc_id IN (SELECT doc_id FROM adm{b})
 ),"""
             )
+            parts.append(
+                f"""vidx{b + 1} AS (
+  SELECT cent_id, embedding FROM vidx{b}
+  UNION ALL
+  SELECT cent_id, embedding FROM vassign
+  WHERE vec_id IN (SELECT doc_id FROM adm{b})
+),"""
+            )
     rej_union = " UNION ALL ".join(
         f"SELECT doc_id FROM rej{b}" for b in range(N_ADMIT_BATCHES)
+    )
+    annrej_union = " UNION ALL ".join(
+        f"SELECT doc_id FROM annrej{b}" for b in range(N_ADMIT_BATCHES)
     )
     adm_union = " UNION ALL ".join(
         f"SELECT doc_id FROM adm{b}" for b in range(N_ADMIT_BATCHES)
     )
     parts.append(f"rejected_dup AS ({rej_union}),")
+    parts.append(f"rejected_ann AS ({annrej_union}),")
     parts.append(f"admitted AS ({adm_union})")
     parts.append(
         """SELECT ar.doc_id, CAST(ar.batch_id AS INT) AS batch_id,
-       g.gate_pass, d.dsir_pass, an.ann_pass,
+       g.gate_pass, d.dsir_pass,
+       ar.doc_id NOT IN (SELECT doc_id FROM rejected_ann) AS ann_pass,
        ar.doc_id NOT IN (SELECT doc_id FROM rejected_dup) AS dup_pass,
        ar.doc_id IN (SELECT doc_id FROM admitted) AS admitted
 FROM arrivals ar
 JOIN gate g ON ar.doc_id = g.doc_id
-JOIN dsir d ON ar.doc_id = d.doc_id
-JOIN ann an ON ar.doc_id = an.doc_id"""
+JOIN dsir d ON ar.doc_id = d.doc_id"""
     )
     return "\n".join(parts)
 
@@ -302,16 +327,22 @@ def stream_screen_quartet(spark: SparkSession, sf_dir: str) -> DataFrame:
       materialized corpus model (exact DECIMAL sum — no float
       boundary; docs with no features carry weight 0 and pass), the
       stream_dsir_ingest model.
-    - **ann_pass** — no corpus vector above {NEARDUP_COS} cosine in
-      the doc's {N_PROBE} probed IVF cells (docs without an embedding
-      bypass and pass), the stream_ann_ingest probe. The vector
-      corpus here is the DOC split (vec_id % {ARRIVAL_MOD}), aligning
-      all four screens on one arrival population.
+    - **ann_pass** — no vector above {NEARDUP_COS} cosine in the
+      doc's {N_PROBE} probed IVF cells of the index AS OF THIS BATCH:
+      corpus-split vectors ∪ vectors of prior fully-admitted
+      arrivals, each entering at its top-1 cell (docs without an
+      embedding bypass and pass). STATEFUL like the dup screen
+      (round-12 verdict item 4) — an arrival whose near-vector twin
+      was admitted three batches earlier is caught; the fold-back
+      algebra is ivf_index_merge's, composed into the drain. The
+      vector corpus is the DOC split (vec_id % {ARRIVAL_MOD}),
+      aligning all four screens on one arrival population.
     - **dup_pass** — no shared LSH band bucket with the index as of
       this batch: corpus ∪ band rows of PRIOR FULLY-ADMITTED
-      arrivals. Only the dup screen is stateful; only docs passing
-      ALL FOUR screens fold back (an arrival rejected by the gate
-      never joins the corpus, so it must not block a later twin).
+      arrivals. Both similarity screens are stateful; only docs
+      passing ALL FOUR screens fold back (an arrival rejected by the
+      gate never joins the corpus, so it must not block a later
+      twin).
 
     admitted = all four. Drop accounting is the verdict relation
     itself — per-screen failure counts are one aggregation over the
@@ -365,6 +396,7 @@ def stream_screen_quartet(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = f"/tmp/sfdc_quartet_state/{os.path.basename(landing)}"
     lock_fd = acquire_state_lock(state)
     delta_base = f"{state}/delta"
+    vdelta_base = f"{state}/vdelta"
     verdict_base = f"{state}/verdicts"
     ckpt = f"{state}/ckpt"
 
@@ -403,8 +435,23 @@ def stream_screen_quartet(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("doc_id", "embedding", "nrm", F.col("p.cent_id").alias("cent_id"))
         )
+        # ANN index as of batch b = corpus cells ∪ vector deltas of
+        # prior batches found on disk — the dup screen's fold-forward
+        # discipline applied to vectors (round-12 verdict item 4): an
+        # arrival whose near-vector twin was admitted three batches
+        # ago must NOT pass.
+        vdelta_dirs = [
+            d
+            for d in (f"{vdelta_base}/b{i}" for i in range(batch_id))
+            if os.path.exists(os.path.join(d, "_SUCCESS"))
+        ]
+        vindex_b = (
+            vindex.unionByName(s.read.parquet(*vdelta_dirs))
+            if vdelta_dirs
+            else vindex
+        )
         annhits = (
-            probed.join(vindex, "cent_id")
+            probed.join(vindex_b, "cent_id")
             .where(
                 cosine_prenorm(
                     F.col("embedding"),
@@ -469,6 +516,23 @@ def stream_screen_quartet(spark: SparkSession, sf_dir: str) -> DataFrame:
             verdicts.where("admitted").select("doc_id"), "doc_id"
         ).select(F.col("doc_id").alias("corpus_doc"), "band_id", "bucket")
         adm_bands.write.mode("overwrite").parquet(f"{delta_base}/b{batch_id}")
+        # admitted docs' vectors fold back at their TOP-1 IVF cell —
+        # the same rn=1 assignment the corpus index uses (per-batch
+        # dir + overwrite = idempotent, like the band delta)
+        adm_vecs = (
+            verdicts.where("admitted")
+            .select("doc_id")
+            .join(arr_vecs, "doc_id")
+            .select(
+                F.element_at(
+                    _probe_cells_expr(F.col("embedding"), F.col("nrm"), cents),
+                    1,
+                )["cent_id"].alias("cent_id"),
+                F.col("embedding").alias("c_embedding"),
+                F.col("nrm").alias("c_nrm"),
+            )
+        )
+        adm_vecs.write.mode("overwrite").parquet(f"{vdelta_base}/b{batch_id}")
 
     arrivals = (
         spark.readStream.schema(
