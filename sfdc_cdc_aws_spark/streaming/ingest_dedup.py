@@ -702,6 +702,19 @@ def cc_label_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-read, the state is patched via one broadcast map.
     Reference parity: the reference has no dedup; §2.9 extension
     surface on the S5 micro-batch arrival model."""
+    labels, _remap = _cc_merge_parts(spark, sf_dir)
+    return labels
+
+
+def _cc_merge_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """cc_label_merge's two products: the merged (doc_id, cluster_id)
+    labeling AND the (old → new) label remap whose ``new`` values are
+    exactly the clusters the arrival batch TOUCHED — the work-list
+    the incremental survivor election (dedup_keep_best_merge) elects
+    over. Split out so the election can reuse the remap instead of
+    re-deriving which clusters changed."""
     state = spark.read.parquet(ensure_cc_state(spark, sf_dir))
     corpus_bands = spark.read.parquet(ensure_band_index(spark, sf_dir))
     arrival_bands = spark.read.parquet(ensure_band_delta(spark, sf_dir))
@@ -768,7 +781,7 @@ def cc_label_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(remap, F.col("doc_id") == F.col("old"))
         .select("doc_id", F.col("new").alias("cluster_id"))
     )
-    return patched.unionByName(new_rows)
+    return patched.unionByName(new_rows), remap
 
 
 # ---------------------------------------------------------------------------
@@ -1174,17 +1187,70 @@ from sfdc_cdc_aws_spark.operators.dedup import (  # noqa: E402
 )
 
 
+def ensure_keep_best_state(
+    spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_keepbest_state"
+) -> str:
+    """Materialize the STANDING survivor manifest — keep_best_election
+    over the corpus-only CC labels (ensure_cc_state) — idempotent per
+    source content. This is the state the incremental election
+    patches: at scale it is a lake table written once and then only
+    amended for clusters an arrival batch touches."""
+    st = os.stat(table_path(sf_dir, "documents"))
+    name = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_LANDING_REV}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
+    out = os.path.join(base, name)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        labels = spark.read.parquet(ensure_cc_state(spark, sf_dir))
+        keep_best_election(spark, sf_dir, labels).write.mode(
+            "overwrite"
+        ).parquet(out)
+    return out
+
+
 @query("dedup_keep_best_merge", oracle=DUCK_KEEP_BEST_SQL)
 def dedup_keep_best_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_keep_best over the MAINTAINED labels: survivor election +
-    drop manifest composed on cc_label_merge's incrementally merged
-    labeling instead of a from-scratch CC fixpoint — the second of the
-    two largest x100 walls (dedup_keep_best 94.8 s, BENCH_SCALE100)
-    recast as per-batch maintenance + one linear election pass. The
-    oracle is dedup_keep_best's own recursive-CTE + election SQL,
-    unchanged: merged labels are hash-equal to from-scratch CC
-    (cc_label_merge's contract), so the election output must be
-    identical — which is exactly what this key's parity proves."""
-    return keep_best_election(
-        spark, sf_dir, cc_label_merge(spark, sf_dir)
+    """INCREMENTAL survivor election over the maintained labels
+    (round-12 verdict item 5): only clusters the arrival batch
+    TOUCHED can change survivors, so the per-refresh election is
+    O(touched), not O(all clusters):
+
+    1. The label maintenance (cc_label_merge's contracted fixpoint)
+       yields the merged labeling AND the (old → new) remap — whose
+       node set is exactly the touched clusters: ``old`` values are
+       the standing labels (and new doc ids) the delta reached,
+       ``new`` values the merged cluster ids.
+    2. Standing manifest rows whose cluster_id appears in
+       ``remap.old`` are DROPPED (their cluster gained members or
+       merged away) — one broadcast anti-join over the manifest.
+    3. The election re-runs ONLY over merged labels whose cluster_id
+       is in ``remap.new`` (broadcast semi-join filter — the quality
+       join and max_by aggregate carry one row per TOUCHED doc), and
+       the result unions with the untouched standing rows.
+
+    Equality with the full election is structural: clusters partition
+    into touched/untouched, untouched clusters have identical
+    membership in the corpus-only and merged labelings (cc_label_merge
+    's proven contract), and the election is deterministic per
+    cluster. The oracle is dedup_keep_best's own recursive-CTE +
+    election SQL over ALL documents, unchanged — parity proves the
+    partition argument end-to-end. At 100 TB this closes the last
+    full-relation pass the dedup maintenance loop carried: labels
+    patch via broadcast (cc_label_merge), the band index appends
+    (minhash_index_merge), and now the survivor manifest amends
+    O(touched) rows instead of re-electing every cluster."""
+    labels, remap = _cc_merge_parts(spark, sf_dir)
+    standing = spark.read.parquet(ensure_keep_best_state(spark, sf_dir))
+    # bounded by the arrival delta's contracted graph — broadcasts
+    touched_old = F.broadcast(
+        remap.select(F.col("old").alias("cluster_id")).distinct()
     )
+    touched_new = F.broadcast(
+        remap.select(F.col("new").alias("cluster_id")).distinct()
+    )
+    keep = standing.join(touched_old, "cluster_id", "left_anti")
+    re_elected = keep_best_election(
+        spark, sf_dir, labels.join(touched_new, "cluster_id", "left_semi")
+    )
+    return keep.unionByName(re_elected)
