@@ -139,6 +139,43 @@ CHECKSUM_KEYS = {
         "CAST(doc_id AS VARCHAR) || '|' || CAST(batch_id AS VARCHAR) "
         "|| '|' || CAST(admitted AS VARCHAR)",
     ),
+    # round-12 verdict item 1: the partitioned+bucketed admit loop —
+    # identical oracle and row shape to stream_dedup_admit_merge; the
+    # lane prices the physical layout's claim (probe exchange-free,
+    # per-batch partition commits) at two decades
+    "stream_dedup_admit_bucketed": (
+        ("doc_id", "batch_id", "admitted"),
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(batch_id AS VARCHAR) "
+        "|| '|' || CAST(admitted AS VARCHAR)",
+    ),
+    # round-12 verdict item 1: the bucketed index-merge twin — same
+    # from-scratch oracle as minhash_index_merge (~2M output buckets)
+    "minhash_index_merge_bucketed": (
+        ("band_id", "bucket", "n_docs", "member_xor", "min_doc", "max_doc"),
+        "CAST(band_id AS VARCHAR) || '|' || bucket || '|' "
+        "|| CAST(n_docs AS VARCHAR) || '|' || CAST(member_xor AS VARCHAR) "
+        "|| '|' || CAST(min_doc AS VARCHAR) || '|' "
+        "|| CAST(max_doc AS VARCHAR)",
+    ),
+    # round-12 verdict item 1: the composed four-screen drain — the
+    # chained-CTE oracle (dup AND ann indexes fold forward) over all
+    # 125k arrival verdicts; one row per arrival doc, 5 booleans
+    "stream_screen_quartet": (
+        (
+            "doc_id",
+            "batch_id",
+            "gate_pass",
+            "dsir_pass",
+            "ann_pass",
+            "dup_pass",
+            "admitted",
+        ),
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(batch_id AS VARCHAR) "
+        "|| '|' || CAST(gate_pass AS VARCHAR) || '|' "
+        "|| CAST(dsir_pass AS VARCHAR) || '|' "
+        "|| CAST(ann_pass AS VARCHAR) || '|' "
+        "|| CAST(dup_pass AS VARCHAR) || '|' || CAST(admitted AS VARCHAR)",
+    ),
     # round-11 verdict item 7: prove "candidate volume tracks
     # true-similar pairs" two decades up — the x1/x10/x100 row counts
     # are the claim's evidence; the uncapped DuckDB oracle has the
@@ -165,6 +202,9 @@ CHECKSUM_X100 = (
     "cdc_incremental_merge",
     "minhash_index_merge",
     "stream_dedup_admit_merge",
+    "stream_dedup_admit_bucketed",
+    "minhash_index_merge_bucketed",
+    "stream_screen_quartet",
 )
 CHECKSUM_X10_EXEMPTION = (
     "checksum verified at x10; at x100 the uncapped DuckDB oracle "
@@ -208,6 +248,24 @@ ELECTION_KEYS = ("dedup_keep_best",)
 # (itself invariant-proven in this artifact) — plus the lane records
 # the merged-vs-scratch walls, the number the key exists to shrink.
 MERGE_KEYS = ("cc_label_merge",)
+
+# dedup_keep_best_merge = incremental election over the maintained
+# labels (round-12 verdict item 5). Verified like its two parents
+# composed: full recursive oracle at x10; at x100 the election is
+# re-derived in DuckDB from the MERGED labels (cc_label_merge's
+# output, itself MERGE_EQUALS_SCRATCH-verified in this artifact)
+# + documents and compared exactly — plus merged-vs-scratch walls
+# (the incremental election must beat the full re-election).
+ELECTION_MERGE_KEYS = ("dedup_keep_best_merge",)
+
+KEEP_BEST_MERGE_X100_EXEMPTION = (
+    "full recursive oracle MATCH at x10; at x100 that CTE is "
+    "dedup_clusters' exact blow-up, so the election (touched-cluster "
+    "re-election unioned with the untouched standing manifest) is "
+    "independently re-derived in DuckDB from the merged labels — "
+    "which this artifact fingerprint-proves equal to from-scratch "
+    "Spark CC — and compared exactly"
+)
 
 CC_MERGE_X100_EXEMPTION = (
     "full recursive oracle MATCH at x10; at x100 that CTE is "
@@ -370,6 +428,33 @@ EXPLANATIONS = {
         "are the savings; the verdict row's merged-vs-scratch walls "
         "record that the incremental path beats the from-scratch "
         "recompute it replaces"
+    ),
+    "stream_dedup_admit_bucketed": (
+        "same pair-space + per-batch-fixed reality as "
+        "stream_dedup_admit_merge (each of the 4 micro-batches probes "
+        "~31k arrival docs' band rows against the growing index, "
+        "family^2 fixture density, 4x fixed drain scaffolding) — the "
+        "bucketed layout changes WHERE the probe's work happens "
+        "(sort-merge off bucket files, no index-side exchange, "
+        "partition-pruned commits) not HOW MANY pairs the fixture "
+        "makes it intersect; the x100 chained-CTE checksum verifies "
+        "the order-dependent admission exactly"
+    ),
+    "stream_screen_quartet": (
+        "the dup leg is stream_dedup_admit_merge's probe (pair-space "
+        "growth by fixture construction) and the drain pays the same "
+        "4x micro-batch scaffolding; the other three screens are "
+        "linear (map-side rules, broadcast DSIR model join over the "
+        "~87M-row feature explode, bounded IVF cell probes + vector "
+        "fold-back). The x100 chained-CTE checksum verifies all five "
+        "verdict columns exactly"
+    ),
+    "dedup_keep_best_merge": (
+        "the timed incremental path still PAYS cc_label_merge's "
+        "arrival probe (every LSH pair with >=1 arrival endpoint — "
+        "~44% of the family^2 pair relation) before the O(touched) "
+        "election; the merged-vs-scratch walls in this row record "
+        "that it beats the full re-election it replaces"
     ),
     "stream_quality_gate": (
         "availableNow drain pays fresh-checkpoint + state-store "
@@ -545,6 +630,73 @@ def _election_verdict(spark, specs, sf10: str, sf100: str) -> dict:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     row["oracle_100x_wall_s"] = round(time.monotonic() - t0, 1)
+    return row
+
+
+def _election_merge_verdict(spark, specs, sf10: str, sf100: str) -> dict:
+    """dedup_keep_best_merge's split verification (ELECTION_MERGE_KEYS):
+    full recursive oracle at x10; at x100 the incremental election is
+    compared against the election re-derived in DuckDB from the merged
+    labels, and the merged-vs-scratch walls record the speedup the
+    incremental path exists for."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from tests.oracle import _canon, compare
+
+    spec = specs["dedup_keep_best_merge"]
+    row: dict = {}
+    t0 = time.monotonic()
+    try:
+        compare(spec.fn(spark, sf10), spec.oracle, sf10)
+        row["oracle_at_10x"] = "MATCH"
+    except AssertionError as exc:
+        row["oracle_at_10x"] = f"MISMATCH: {str(exc)[:200]}"
+    row["oracle_10x_wall_s"] = round(time.monotonic() - t0, 1)
+
+    t0 = time.monotonic()
+    tmp = tempfile.mkdtemp(prefix="keepbest_merge_labels_")
+    try:
+        labels_path = os.path.join(tmp, "labels.parquet")
+        specs["cc_label_merge"].fn(spark, sf100).toPandas().to_parquet(
+            labels_path
+        )
+        want = duckdb.sql(
+            _ELECTION_SQL.format(
+                labels=labels_path,
+                docs=os.path.join(sf100, "documents.parquet"),
+            )
+        ).df()
+        got = spec.fn(spark, sf100).toPandas()
+        g, w = _canon(got).fillna(""), _canon(want).fillna("")
+        ok = (
+            list(g.columns) == list(w.columns)
+            and len(g) == len(w)
+            and bool((g.astype(str).values == w.astype(str).values).all())
+        )
+        row["oracle_at_100x"] = (
+            f"ELECTION_ORACLE_OK(clusters={len(g)})"
+            if ok
+            else f"ELECTION_MISMATCH(spark={len(g)}, oracle={len(w)})"
+        )
+        row["oracle_exemption"] = KEEP_BEST_MERGE_X100_EXEMPTION
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    row["oracle_100x_wall_s"] = round(time.monotonic() - t0, 1)
+
+    # the number the key exists to shrink: incremental election wall
+    # vs the full re-election (labels + full election) it replaces
+    t0 = time.monotonic()
+    spec.fn(spark, sf100).count()
+    row["merged_x100_wall_s"] = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    specs["dedup_keep_best"].fn(spark, sf100).count()
+    row["scratch_x100_wall_s"] = round(time.monotonic() - t0, 1)
+    row["incremental_speedup_x100"] = round(
+        row["scratch_x100_wall_s"] / max(row["merged_x100_wall_s"], 1e-9), 2
+    )
     return row
 
 
@@ -793,6 +945,7 @@ def main() -> int:
         + INVARIANT_KEYS
         + ELECTION_KEYS
         + MERGE_KEYS
+        + ELECTION_MERGE_KEYS
         + RELATIONAL_KEYS
     )
     if only is None or any(k in RELATIONAL_KEYS for k in only):
@@ -833,6 +986,8 @@ def main() -> int:
             row.update(_election_verdict(spark, specs, SF10, SF100))
         elif key in MERGE_KEYS:
             row.update(_merge_verdict(spark, specs, SF10, SF100))
+        elif key in ELECTION_MERGE_KEYS:
+            row.update(_election_merge_verdict(spark, specs, SF10, SF100))
         elif key in ORACLE_KEYS:
             t0 = time.monotonic()
             try:

@@ -148,11 +148,85 @@ def _tail_follow_bounded_state(spark, sf_dir: str) -> dict:
 
 
 
+def _quartet_screens(spark, sf_dir: str) -> dict:
+    """The composed screen's drop accounting at scale (round-12
+    verdict item 7): per-screen failure counts are the funnel numbers
+    a 100 TB operator watches — drain the quartet, aggregate the
+    verdict relation, and assert every count against the SAME
+    aggregation over the DuckDB chained-CTE batch oracle."""
+    import pyspark.sql.functions as F
+
+    from sfdc_cdc_aws_spark.registry import load_all
+    from tests.oracle import duck_connection
+
+    spec = load_all()["stream_screen_quartet"]
+    spec.fn(spark, sf_dir).count()  # warm fixtures/models/indexes
+    t0 = time.perf_counter()
+    got_row = (
+        spec.fn(spark, sf_dir)
+        .agg(
+            F.count("*").alias("n_arrivals"),
+            F.sum((~F.col("gate_pass")).cast("long")).alias("gate_fail"),
+            F.sum((~F.col("dsir_pass")).cast("long")).alias("dsir_fail"),
+            F.sum((~F.col("ann_pass")).cast("long")).alias("ann_fail"),
+            F.sum((~F.col("dup_pass")).cast("long")).alias("dup_fail"),
+            F.sum(F.col("admitted").cast("long")).alias("admitted"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    wall = round(time.perf_counter() - t0, 3)
+    con = duck_connection(sf_dir)
+    try:
+        w = con.sql(
+            "SELECT count(*) AS n_arrivals, "
+            "sum(CASE WHEN NOT gate_pass THEN 1 ELSE 0 END) AS gate_fail, "
+            "sum(CASE WHEN NOT dsir_pass THEN 1 ELSE 0 END) AS dsir_fail, "
+            "sum(CASE WHEN NOT ann_pass THEN 1 ELSE 0 END) AS ann_fail, "
+            "sum(CASE WHEN NOT dup_pass THEN 1 ELSE 0 END) AS dup_fail, "
+            "sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS admitted "
+            f"FROM ({spec.oracle})"
+        ).df().iloc[0]
+    finally:
+        con.close()
+    got = {k: int(v) for k, v in got_row.items()}
+    want = {k: int(w[k]) for k in got}
+    return {
+        "wall_s": wall,
+        "spark_counts": got,
+        "oracle_counts": want,
+        "counts_match": got == want,
+    }
+
+
 def main() -> int:
     from sfdc_cdc_aws_spark.registry import load_all
     from sfdc_cdc_aws_spark.session import get_session
     from sfdc_cdc_aws_spark.streaming import job as jobmod
     from tools.stream_drain_bench import run as drain_split
+
+    if "--quartet" in sys.argv[1:]:
+        # incremental mode: add/refresh ONLY the quartet drop-
+        # accounting block (sf0.1 + the ×10 docs fixture .scale/sf1)
+        spark = get_session("stream_scale")
+        out_path = os.path.join(REPO, "STREAM_SCALE.json")
+        with open(out_path) as f:
+            out = json.load(f)
+        sf10_docs = os.path.join(REPO, ".scale", "sf1")
+        block = {"sf01": _quartet_screens(spark, SF01)}
+        print("  sf01:", json.dumps(block["sf01"]), flush=True)
+        if os.path.isdir(sf10_docs):
+            block["sf10_docs"] = _quartet_screens(spark, sf10_docs)
+            print("  sf10:", json.dumps(block["sf10_docs"]), flush=True)
+            a, b = block["sf01"], block["sf10_docs"]
+            block["wall_ratio_10x"] = round(b["wall_s"] / a["wall_s"], 2)
+        out["quartet_screens"] = block
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print("updated STREAM_SCALE.json (quartet_screens block)")
+        return 0 if all(
+            v.get("counts_match") for v in block.values() if isinstance(v, dict)
+        ) else 1
 
     if not os.path.isdir(SF1X):
         print(f"missing 10x fixture {SF1X}; run tools/gen_scale_fixture.py first")
