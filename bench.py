@@ -131,12 +131,19 @@ def main() -> None:
     specs["cdc_latest_snapshot"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    from sfdc_cdc_aws_spark.streaming.job import ensure_landing
-
-    ensure_landing(spark, sf_dir)
     specs["cdc_stream_stateful_counts"].fn(spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+    # materialize every ensure_* fixture UNTIMED (round-13 verdict item
+    # 5: a regenerated source fingerprint otherwise bills index/landing
+    # rebuilds to whichever key touches the builder first). The regen
+    # cost is recorded as its own artifact field, not inside key walls.
+    from sfdc_cdc_aws_spark.prewarm import prewarm_materializations
+
+    t0 = time.perf_counter()
+    prewarm = prewarm_materializations(spark, sf_dir)
+    prewarm_total = round(time.perf_counter() - t0, 3)
+    print(f"  [prewarm] {prewarm_total}s: {prewarm}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in sorted(specs):
@@ -161,6 +168,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "master": spark.sparkContext.master,
+                "prewarm_sec": prewarm_total,
+                "prewarm": prewarm,
             },
             f,
             separators=(",", ":"),

@@ -1770,8 +1770,15 @@ def neardup_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     # function — instead the PREVIOUS invocation's caches release on
     # the next call (round-12 ADVICE: repeated bench/parity
     # invocations in one session must not accumulate cached blocks).
+    # best-effort: an entry cached by a SparkSession that was stopped
+    # and recreated between calls (bench harnesses cycling sessions in
+    # one process) raises on unpersist — the blocks died with the
+    # session, so swallowing is correct, not masking (round-13 ADVICE)
     while _ENSEMBLE_CACHED:
-        _ENSEMBLE_CACHED.pop().unpersist()
+        try:
+            _ENSEMBLE_CACHED.pop().unpersist()
+        except Exception:
+            pass
     m0 = (
         minhash_lsh_dedup(spark, sf_dir)
         .select("doc_a", "doc_b")

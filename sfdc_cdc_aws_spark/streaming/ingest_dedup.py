@@ -47,7 +47,16 @@ from sfdc_cdc_aws_spark.streaming.job import run_available_now
 # rest are the standing corpus. Scale-independent and replayable.
 ARRIVAL_MOD = 4
 
-_LANDING_REV = "v1"
+# Per-artifact cache-rev constants (round-13 verdict item 6): each
+# ensure_* family owns its rev so a signature or election change bumps
+# exactly the caches it invalidates — a shared constant let a change
+# to one family silently reuse a stale sibling cache. Values stay
+# "v1": the split itself must not orphan existing fixture dirs.
+_BAND_INDEX_REV = "v1"
+_DOC_LANDING_REV = "v1"
+_BAND_DELTA_REV = "v1"
+_CC_STATE_REV = "v1"
+_KEEP_BEST_REV = "v1"
 
 
 def ensure_band_index(
@@ -62,7 +71,7 @@ def ensure_band_index(
     the corpus version changes."""
     st = os.stat(table_path(sf_dir, "documents"))
     name = (
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{_LANDING_REV}"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_BAND_INDEX_REV}"
         f"_{st.st_mtime_ns}_{st.st_size}"
     )
     out = os.path.join(base, name)
@@ -89,7 +98,7 @@ def ensure_doc_landing(
     multiple micro-batches like a real shard feed."""
     st = os.stat(table_path(sf_dir, "documents"))
     name = (
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{_LANDING_REV}"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_DOC_LANDING_REV}"
         f"_{st.st_mtime_ns}_{st.st_size}"
     )
     out = os.path.join(base, name)
@@ -194,7 +203,7 @@ def ensure_band_delta(
     merge query below never touches document text again."""
     st = os.stat(table_path(sf_dir, "documents"))
     name = (
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{_LANDING_REV}"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_BAND_DELTA_REV}"
         f"_{st.st_mtime_ns}_{st.st_size}"
     )
     out = os.path.join(base, name)
@@ -623,7 +632,7 @@ def ensure_cc_state(
     edge relation."""
     st = os.stat(table_path(sf_dir, "documents"))
     name = (
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{_LANDING_REV}"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_CC_STATE_REV}"
         f"_{st.st_mtime_ns}_{st.st_size}"
     )
     out = os.path.join(base, name)
@@ -914,22 +923,6 @@ def minhash_index_merge_bucketed(
     )
 
 
-def admit_probe_plan(
-    spark: SparkSession, batch_df: DataFrame, tbl: str
-) -> DataFrame:
-    """The per-batch probe of the bucketed admit loop, exposed as a
-    plan builder so tests can assert its physical shape without
-    draining: batch band rows sort-merge-join the bucketed index —
-    the ONLY exchange is on the (small) batch side; the index's
-    FileScan feeds the join directly off its bucket files."""
-    bands_b = sig_bands(minhash_sig_df(batch_df)).select(
-        "doc_id", "band_id", "bucket"
-    )
-    return bands_b.hint("merge").join(
-        spark.table(tbl).select("band_id", "bucket"), ["band_id", "bucket"]
-    )
-
-
 _ADMIT_BKT_BASE = "/tmp/sfdc_admit_bkt_tbl"
 
 
@@ -968,38 +961,83 @@ def ensure_admit_bkt_table(spark: SparkSession, sf_dir: str) -> str:
                 shutil.rmtree(
                     os.path.join(_ADMIT_BKT_BASE, d), ignore_errors=True
                 )
-    path = _admit_bkt_path(tbl)
+    ensure_corpus_partition(
+        spark,
+        tbl,
+        _admit_bkt_path(tbl),
+        lambda: spark.read.parquet(ensure_band_index(spark, sf_dir)),
+        ("band_id", "bucket"),
+    )
+    return tbl
+
+
+def ensure_corpus_partition(
+    spark: SparkSession,
+    tbl: str,
+    path: str,
+    build_corpus,
+    bucket_cols: tuple[str, ...],
+) -> None:
+    """Create a commit_batch-partitioned, bucketed index table whose
+    corpus lives in partition commit_batch=-1 — built ONCE per table
+    name (the name carries the fixture fingerprint); per-batch
+    admission partitions land later via dynamic-partition-overwrite
+    insertInto. Shared by the admit loop and the quartet's two
+    stateful screens."""
+    import shutil
+
     marker = os.path.join(path, "_CORPUS_OK")
     if not (spark.catalog.tableExists(tbl) and os.path.exists(marker)):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(path, ignore_errors=True)
         (
-            spark.read.parquet(ensure_band_index(spark, sf_dir))
+            build_corpus()
             .withColumn("commit_batch", F.lit(-1))
             # same murmur3 hash as the bucket assignment: one task per
             # bucket, one sorted file per bucket
-            .repartition(INDEX_BUCKETS, "band_id", "bucket")
+            .repartition(INDEX_BUCKETS, *bucket_cols)
             .write.partitionBy("commit_batch")
-            .bucketBy(INDEX_BUCKETS, "band_id", "bucket")
-            .sortBy("band_id", "bucket")
+            .bucketBy(INDEX_BUCKETS, *bucket_cols)
+            .sortBy(*bucket_cols)
             .option("path", path)
             .mode("overwrite")
             .saveAsTable(tbl)
         )
         with open(marker, "w") as f:
             f.write("ok")
-    return tbl
 
 
 def reset_admit_partitions(spark: SparkSession, tbl: str) -> None:
-    """Return the admit table to the pristine corpus WITHOUT touching
-    the corpus build: admission partitions are per-batch directories,
-    so the reset is deleting them and refreshing the file index — the
-    corpus partition (commit_batch=-1) is never rewritten."""
+    """Return the admit table to the pristine corpus — see
+    reset_batch_partitions."""
+    reset_batch_partitions(spark, tbl, _admit_bkt_path(tbl))
+
+
+def reset_batch_partitions(spark: SparkSession, tbl: str, path: str) -> None:
+    """Return a commit_batch-partitioned index table to the pristine
+    corpus WITHOUT touching the corpus build: admission partitions are
+    dropped THROUGH THE CATALOG (ALTER TABLE ... DROP PARTITION
+    removes both the metadata and the directory) so catalog state and
+    the filesystem cannot diverge across Spark versions (round-13
+    ADVICE — a bare rmtree left dangling partition metadata for
+    refreshTable to tolerate). The corpus partition (commit_batch=-1)
+    is never touched. Any directory a torn run left WITHOUT catalog
+    metadata (crash between file write and commit) is still swept by
+    the rmtree fallback."""
     import shutil
 
-    path = _admit_bkt_path(tbl)
     if os.path.isdir(path):
+        batches = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(path)
+            if d.startswith("commit_batch=") and d != "commit_batch=-1"
+        )
+        for b in batches:
+            spark.sql(
+                f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (commit_batch={b})"
+            )
+        # a crashed insertInto can leave the directory without its
+        # catalog entry; DROP PARTITION won't see it — sweep the files
         for d in os.listdir(path):
             if d.startswith("commit_batch=") and d != "commit_batch=-1":
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
@@ -1047,7 +1085,31 @@ def run_admit_drain_bucketed(
     landing = ensure_admit_landing(spark, sf_dir)
     tbl = ensure_admit_bkt_table(spark, sf_dir)
     state = bkt_admit_state_base(landing)
+    # everything after the lock acquisition sits inside try/finally:
+    # reset_admit_partitions/refreshTable issue Spark calls that can
+    # raise, and a raise before the finally would leak the flock fd
+    # for the process lifetime (round-13 ADVICE) — every later drain
+    # of this fixture in the process would then fail "another drain
+    # holds the lock".
     lock_fd = acquire_state_lock(state)
+    try:
+        return _admit_drain_bucketed_locked(
+            spark, landing, tbl, state, keep_state, kill_after_batch
+        )
+    finally:
+        os.close(lock_fd)
+
+
+def _admit_drain_bucketed_locked(
+    spark: SparkSession,
+    landing: str,
+    tbl: str,
+    state: str,
+    keep_state: bool,
+    kill_after_batch: int | None,
+) -> DataFrame:
+    import shutil
+
     verdict_base = f"{state}/verdicts"
     ckpt = f"{state}/ckpt"
     if not os.path.isdir(ckpt):
@@ -1151,11 +1213,11 @@ def run_admit_drain_bucketed(
     finally:
         # in-process cleanup only — a SIGKILL never reaches this, so
         # the killed run's checkpoint, verdicts, and committed
-        # partitions persist and the next invocation resumes
+        # partitions persist and the next invocation resumes (the
+        # caller's finally closes the flock fd)
         if not keep_state:
             shutil.rmtree(state, ignore_errors=True)
             reset_admit_partitions(spark, tbl)
-        os.close(lock_fd)
     return result
 
 
@@ -1197,7 +1259,7 @@ def ensure_keep_best_state(
     amended for clusters an arrival batch touches."""
     st = os.stat(table_path(sf_dir, "documents"))
     name = (
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{_LANDING_REV}"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_KEEP_BEST_REV}"
         f"_{st.st_mtime_ns}_{st.st_size}"
     )
     out = os.path.join(base, name)

@@ -44,3 +44,34 @@ def test_headline_queries_lead_the_line():
     reported = list(json.loads(line)["queries"])
     expected_head = [n for n in HEADLINE_ORDER if n in names]
     assert reported[: len(expected_head)] == expected_head
+
+
+def test_every_ensure_builder_is_prewarmed():
+    """Every ``def ensure_*`` in the package must be listed in
+    prewarm.PREWARMERS — a new fixture builder that dodges the
+    prewarm reintroduces first-call rebuild pollution into whichever
+    bench key touches it first (round-13 verdict item 5)."""
+    import ast
+    import os
+
+    import sfdc_cdc_aws_spark
+    from sfdc_cdc_aws_spark.prewarm import PREWARMERS
+
+    listed = {spec.rsplit(":", 1)[1] for spec in PREWARMERS}
+    pkg_root = os.path.dirname(sfdc_cdc_aws_spark.__file__)
+    found = set()
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            tree = ast.parse(open(path).read(), filename=path)
+            for node in ast.walk(tree):
+                if isinstance(node, ast.FunctionDef) and node.name.startswith(
+                    "ensure_"
+                ):
+                    found.add(node.name)
+    missing = found - listed
+    assert not missing, f"ensure_* builders not prewarmed: {sorted(missing)}"
+    stale = listed - found - {"_ensure_bucketed"}
+    assert not stale, f"PREWARMERS lists unknown builders: {sorted(stale)}"

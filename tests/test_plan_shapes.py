@@ -743,3 +743,68 @@ def test_bucketed_index_merge_state_table_still_builds(spark):
 
     tbl = ensure_band_index_table(spark, SF)
     assert spark.table(tbl).count() > 0
+
+
+def test_quartet_dup_probe_only_batch_side_shuffles(spark):
+    """stream_screen_quartet's per-batch dup probe against the
+    PARTITIONED + bucketed quartet index (round-13 verdict item 3):
+    partition pruning keeps only commits < b, the index FileScan
+    feeds the sort-merge join directly off its bucket files, and the
+    only exchange is the (small) batch side's band rows."""
+    from sfdc_cdc_aws_spark.operators.dedup import minhash_sig_df, sig_bands
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+    from sfdc_cdc_aws_spark.sources import load_table
+    from sfdc_cdc_aws_spark.streaming.ingest_quartet import (
+        ensure_quartet_bkt_tables,
+        quartet_dup_probe_plan,
+    )
+
+    tbl, _vtbl = ensure_quartet_bkt_tables(spark, SF)
+    batch = (
+        load_table(spark, SF, "documents")
+        .where("doc_id % 4 = 0")
+        .select("doc_id", "text")
+    )
+    bands_b = sig_bands(minhash_sig_df(batch)).select(
+        "doc_id", "band_id", "bucket"
+    )
+    probe = quartet_dup_probe_plan(spark, bands_b, tbl, batch_id=2)
+    probe.count()
+    assert exchange_count(probe) == 1
+    plan = plan_string(probe)
+    assert "SortMergeJoin" in plan
+    assert "commit_batch" in plan and "PartitionFilters" in plan
+    idx_scan = [ln for ln in plan.splitlines() if "quartet_bkt_" in ln]
+    assert idx_scan and all("Exchange" not in ln for ln in idx_scan)
+
+
+def test_quartet_ann_probe_only_batch_side_shuffles(spark):
+    """The quartet's ANN cell probe against the bucketed vector index:
+    same pruning + exchange-free-index-side contract, keyed on
+    cent_id."""
+    from pyspark.sql import functions as F
+
+    from sfdc_cdc_aws_spark.functions.vector import norm
+    from sfdc_cdc_aws_spark.plans.introspect import plan_string
+    from sfdc_cdc_aws_spark.sources import load_table
+    from sfdc_cdc_aws_spark.streaming.ingest_quartet import (
+        ensure_quartet_bkt_tables,
+        quartet_ann_probe_plan,
+    )
+
+    _tbl, vtbl = ensure_quartet_bkt_tables(spark, SF)
+    e = load_table(spark, SF, "embeddings").where("vec_id % 4 = 0")
+    probed = e.select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        (F.col("vec_id") % 16).cast("int").alias("cent_id"),
+    )
+    probe = quartet_ann_probe_plan(spark, probed, vtbl, batch_id=2)
+    probe.count()
+    assert exchange_count(probe) <= 2  # batch-side shuffle + distinct
+    plan = plan_string(probe)
+    assert "SortMergeJoin" in plan
+    assert "commit_batch" in plan and "PartitionFilters" in plan
+    idx_scan = [ln for ln in plan.splitlines() if "quartet_vbkt_" in ln]
+    assert idx_scan and all("Exchange" not in ln for ln in idx_scan)

@@ -100,3 +100,94 @@ def test_quartet_deterministic_across_drains(spark):
     r1 = sorted(map(tuple, SPECS["stream_screen_quartet"].fn(spark, SF).collect()))
     r2 = sorted(map(tuple, SPECS["stream_screen_quartet"].fn(spark, SF).collect()))
     assert r1 == r2
+
+
+_KILL_SCRIPT_QUARTET = """
+import sys
+from sfdc_cdc_aws_spark.session import get_session
+from sfdc_cdc_aws_spark.streaming.ingest_quartet import run_quartet_drain
+
+spark = get_session("quartet_kill_drill", cpus=4)
+run_quartet_drain(spark, sys.argv[1], keep_state=True, kill_after_batch=1)
+raise SystemExit("unreachable: the drain should have SIGKILLed itself")
+"""
+
+
+def test_sigkill_mid_drain_then_resume_quartet(spark):
+    """The torn-window drill on the COMPOSED quartet path (round-13
+    verdict item 3): batch 1 commits its dup AND vector partitions
+    via dynamic-partition-overwrite insertInto, the process dies
+    before the checkpoint commit, and the resumed drain — which
+    re-executes batch 1 against indexes pruned to commits < 1, then
+    overwrites both partitions idempotently — must equal the
+    uninterrupted run, per-screen."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    from sfdc_cdc_aws_spark.streaming.ingest_quartet import (
+        _quartet_tbl_path,
+        ensure_quartet_bkt_tables,
+        ensure_quartet_landing,
+        quartet_state_base,
+        run_quartet_drain,
+    )
+
+    landing = ensure_quartet_landing(spark, SF)
+    state = quartet_state_base(landing)
+
+    shutil.rmtree(state, ignore_errors=True)
+    baseline = sorted(map(tuple, run_quartet_drain(spark, SF).collect()))
+    assert not os.path.exists(state), "successful drain must not leak state"
+    tbl, vtbl = ensure_quartet_bkt_tables(spark, SF)
+    for t in (tbl, vtbl):
+        tpath = _quartet_tbl_path(t)
+        assert os.path.isdir(os.path.join(tpath, "commit_batch=-1"))
+        assert not any(
+            d.startswith("commit_batch=") and d != "commit_batch=-1"
+            for d in os.listdir(tpath)
+        ), f"{t}: admission partitions must be cleared after success"
+
+    proc = subprocess.run(
+        [sys.executable, "-c", _KILL_SCRIPT_QUARTET, SF],
+        start_new_session=True,
+        timeout=600,
+    )
+    assert proc.returncode == -9  # genuinely SIGKILLed
+
+    # torn window: batches 0/1 wrote verdicts, batch 1's checkpoint
+    # commit missing, 2/3 never ran. A batch's index partitions exist
+    # IFF it admitted docs (dynamic-partition-overwrite of an empty
+    # relation writes no partition — at sf0.001 the four composed
+    # screens can reject a whole batch, which is correct, not torn).
+    adm_by_batch = {}
+    for d, b, *_rest, adm in baseline:
+        adm_by_batch[b] = adm_by_batch.get(b, 0) + int(adm)
+    for b in (0, 1):
+        assert os.path.exists(f"{state}/verdicts/b{b}/_SUCCESS")
+        if adm_by_batch.get(b, 0):
+            part_dirs = {
+                d
+                for d in os.listdir(_quartet_tbl_path(tbl))
+                if d.startswith("commit_batch=")
+            }
+            assert f"commit_batch={b}" in part_dirs
+    for t in (tbl, vtbl):
+        part_dirs = {
+            d
+            for d in os.listdir(_quartet_tbl_path(t))
+            if d.startswith("commit_batch=")
+        }
+        assert "commit_batch=2" not in part_dirs, t
+    commits = os.path.join(state, "ckpt", "commits")
+    committed = (
+        {n for n in os.listdir(commits) if not n.startswith(".")}
+        if os.path.isdir(commits)
+        else set()
+    )
+    assert "1" not in committed, "batch 1 must be UNcommitted (torn)"
+
+    resumed = sorted(map(tuple, run_quartet_drain(spark, SF).collect()))
+    assert resumed == baseline, "resumed verdicts != uninterrupted run"
+    assert not os.path.exists(state)
