@@ -961,7 +961,7 @@ def ensure_admit_bkt_table(spark: SparkSession, sf_dir: str) -> str:
                 shutil.rmtree(
                     os.path.join(_ADMIT_BKT_BASE, d), ignore_errors=True
                 )
-    ensure_corpus_partition(
+    _ensure_corpus_partition(
         spark,
         tbl,
         _admit_bkt_path(tbl),
@@ -971,7 +971,7 @@ def ensure_admit_bkt_table(spark: SparkSession, sf_dir: str) -> str:
     return tbl
 
 
-def ensure_corpus_partition(
+def _ensure_corpus_partition(
     spark: SparkSession,
     tbl: str,
     path: str,
@@ -1100,6 +1100,13 @@ def run_admit_drain_bucketed(
         os.close(lock_fd)
 
 
+#: per-phase wall breakdown of the LAST bucketed admit drain in this
+#: process (round-13 verdict item 7): the x100 lane copies it into the
+#: artifact so "how much of the 378 s is per-batch insertInto/refresh
+#: fixed cost vs probe work" is a recorded number, not a guess.
+LAST_ADMIT_PROFILE: dict = {}
+
+
 def _admit_drain_bucketed_locked(
     spark: SparkSession,
     landing: str,
@@ -1109,6 +1116,7 @@ def _admit_drain_bucketed_locked(
     kill_after_batch: int | None,
 ) -> DataFrame:
     import shutil
+    import time
 
     verdict_base = f"{state}/verdicts"
     ckpt = f"{state}/ckpt"
@@ -1118,6 +1126,15 @@ def _admit_drain_bucketed_locked(
         # run may have left. A RESUMING drain must NOT reset: the
         # committed partitions ARE the state it resumes into.
         reset_admit_partitions(spark, tbl)
+    prof = {
+        "refresh_s": 0.0,
+        "bands_s": 0.0,
+        "probe_verdict_s": 0.0,
+        "insert_s": 0.0,
+        "batches": 0,
+    }
+    LAST_ADMIT_PROFILE.clear()
+    LAST_ADMIT_PROFILE.update(prof)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch runs in a CLONED session whose catalog relation
@@ -1126,13 +1143,18 @@ def _admit_drain_bucketed_locked(
         # refresh so batch b always sees the partition batch b-1
         # committed
         s = batch_df.sparkSession
+        t0 = time.monotonic()
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         s.catalog.refreshTable(tbl)
+        prof["refresh_s"] += time.monotonic() - t0
+        t0 = time.monotonic()
         bands_b = (
             sig_bands(minhash_sig_df(batch_df))
             .select("doc_id", "band_id", "bucket")
             .localCheckpoint()
         )
+        prof["bands_s"] += time.monotonic() - t0
+        t0 = time.monotonic()
         # index as of batch b = partitions with commit_batch < b —
         # partition PRUNING, the on-disk-dirs discipline of the
         # delta-dir key expressed as a filter: on crash-resume, the
@@ -1161,6 +1183,8 @@ def _admit_drain_bucketed_locked(
         verdicts.localCheckpoint().write.mode("overwrite").parquet(
             f"{verdict_base}/b{batch_id}"
         )
+        prof["probe_verdict_s"] += time.monotonic() - t0
+        t0 = time.monotonic()
         adm_bands = bands_b.join(
             verdicts.where("admitted").select("doc_id"), "doc_id"
         ).select(
@@ -1177,6 +1201,11 @@ def _admit_drain_bucketed_locked(
             adm_bands.repartition(INDEX_BUCKETS, "band_id", "bucket")
             .write.mode("overwrite")
             .insertInto(tbl)
+        )
+        prof["insert_s"] += time.monotonic() - t0
+        prof["batches"] += 1
+        LAST_ADMIT_PROFILE.update(
+            {k: round(v, 3) if isinstance(v, float) else v for k, v in prof.items()}
         )
         if kill_after_batch is not None and batch_id >= kill_after_batch:
             # die with the partition + verdicts written but the

@@ -58,7 +58,7 @@ from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
     N_ADMIT_BATCHES,
     acquire_state_lock,
     ensure_band_index,
-    ensure_corpus_partition,
+    _ensure_corpus_partition,
     reset_batch_partitions,
     stamp_batch_mtimes,
 )
@@ -169,14 +169,14 @@ def ensure_quartet_bkt_tables(
                 shutil.rmtree(
                     os.path.join(_QUARTET_BKT_BASE, d), ignore_errors=True
                 )
-    ensure_corpus_partition(
+    _ensure_corpus_partition(
         spark,
         tbl,
         path,
         lambda: spark.read.parquet(ensure_band_index(spark, sf_dir)),
         ("band_id", "bucket"),
     )
-    ensure_corpus_partition(
+    _ensure_corpus_partition(
         spark,
         vtbl,
         vpath,
@@ -230,7 +230,7 @@ def quartet_ann_probe_plan(
     )
 
 
-def _quartet_oracle() -> str:
+def _quartet_oracle(ann_import: str | None = None) -> str:
     """Chained-CTE replay of the composed admission: per batch b, a
     doc is ADMITTED iff it passes the two stateless screens (gate,
     DSIR), has no near-vector in the ANN index as of batch b, and
@@ -240,7 +240,17 @@ def _quartet_oracle() -> str:
     the vector index is corpus-split vectors ∪ vectors of prior
     admitted arrivals, each arrival vector entering at its top-1 IVF
     cell — so an arrival whose near-vector twin was admitted three
-    batches earlier is caught, exactly like the dup screen."""
+    batches earlier is caught, exactly like the dup screen.
+
+    ``ann_import`` (round-13 verdict item 4): path to a parquet of
+    (doc_id, ann_pass) EXPORTED FROM SPARK. When set, the oracle's
+    chained ANN legs — the one part whose x100 DuckDB cost is the
+    intra-cell cosine pair space that filled the sandbox disk — are
+    replaced by the imported column, while gate, DSIR, the chained
+    dup admission, and the composed admitted verdict are all still
+    recomputed EXACTLY. This narrows the x100 exemption to the ANN
+    leg alone; the full oracle (ann_import=None) remains the
+    registered one and verifies end-to-end at x1/x10/sf0.1."""
     batch = f"((doc_id // {ARRIVAL_MOD}) % {N_ADMIT_BATCHES})"
     dsir_alpha_cte = f"""
 arrivals AS (
@@ -357,7 +367,17 @@ gd AS (
   FROM sigs, unnest(generate_series(0, {N_BANDS - 1})) AS u(b)
 ),""",
         dsir_alpha_cte.strip() + ",",
-        ann_cte.strip() + ",",
+        (
+            f"""ann_imp AS (
+  SELECT doc_id, ann_pass FROM read_parquet('{ann_import}')
+),
+gd AS (
+  SELECT g.doc_id, (g.gate_pass AND d.dsir_pass) AS gd_pass
+  FROM gate g JOIN dsir d ON g.doc_id = d.doc_id
+),"""
+            if ann_import
+            else ann_cte.strip() + ","
+        ),
         f"""idx0 AS (
   SELECT band_id, bucket FROM bands WHERE doc_id % {ARRIVAL_MOD} <> 0
 ),""",
@@ -372,8 +392,17 @@ gd AS (
     AND ((a.doc_id // {ARRIVAL_MOD}) % {N_ADMIT_BATCHES}) = {b}
 ),"""
         )
-        parts.append(
-            f"""annrej{b} AS (
+        if ann_import:
+            parts.append(
+                f"""annrej{b} AS (
+  SELECT doc_id FROM ann_imp
+  WHERE NOT ann_pass
+    AND ((doc_id // {ARRIVAL_MOD}) % {N_ADMIT_BATCHES}) = {b}
+),"""
+            )
+        else:
+            parts.append(
+                f"""annrej{b} AS (
   SELECT DISTINCT p.query_id AS doc_id
   FROM vprobes p
   JOIN vidx{b} s ON s.cent_id = p.cent_id
@@ -382,7 +411,7 @@ gd AS (
         >= {NEARDUP_COS}
     AND ((p.query_id // {ARRIVAL_MOD}) % {N_ADMIT_BATCHES}) = {b}
 ),"""
-        )
+            )
         parts.append(
             f"""adm{b} AS (
   SELECT ar.doc_id FROM arrivals ar JOIN gd e ON ar.doc_id = e.doc_id
@@ -400,14 +429,15 @@ gd AS (
   WHERE doc_id IN (SELECT doc_id FROM adm{b})
 ),"""
             )
-            parts.append(
-                f"""vidx{b + 1} AS (
+            if not ann_import:
+                parts.append(
+                    f"""vidx{b + 1} AS (
   SELECT cent_id, embedding FROM vidx{b}
   UNION ALL
   SELECT cent_id, embedding FROM vassign
   WHERE vec_id IN (SELECT doc_id FROM adm{b})
 ),"""
-            )
+                )
     rej_union = " UNION ALL ".join(
         f"SELECT doc_id FROM rej{b}" for b in range(N_ADMIT_BATCHES)
     )

@@ -216,25 +216,30 @@ CHECKSUM_X10_EXEMPTION = (
 
 # per-key x10-anchor exemptions where the generic text's failure mode
 # differs; fall back to CHECKSUM_X10_EXEMPTION
-CHECKSUM_X10_EXEMPTIONS = {
-    "stream_screen_quartet": (
-        "checksum verified at x10 (full chained-CTE oracle, all five "
-        "verdict columns); at x100 the oracle's chained ANN legs make "
-        "DuckDB materialize the intra-cell cosine pair space (~1B "
-        "64-dim pairs across the 4-batch vidx chain) — the run "
-        "spilled past 77 GB and filled the sandbox disk (IOException "
-        "'No space left on device' in the lane log, first attempt "
-        "this round). The Spark side still ran and timed all three "
-        "scales; per-screen drop counts are additionally "
-        "oracle-compared at sf0.1 and the x10 docs fixture in "
-        "STREAM_SCALE.json (quartet_screens)"
-    ),
-}
+CHECKSUM_X10_EXEMPTIONS: dict = {}
 
 # Spark-side structural verification for the iterative CC key (see
 # module docstring); the pair relation it consumes is independently
 # checksum-verified above.
 INVARIANT_KEYS = ("dedup_clusters",)
+
+# stream_screen_quartet's x100 verdict is DECOMPOSED per screen
+# (round-13 verdict item 4): the exemption covers ONE leg, not the
+# whole key.
+QUARTET_KEYS = ("stream_screen_quartet",)
+
+QUARTET_X100_EXEMPTION = (
+    "x100 verdict decomposed per screen: gate, DSIR, the chained dup "
+    "admission, and the composed admitted column are recomputed "
+    "EXACTLY by the DuckDB oracle at x100 (ann_import mode of "
+    "_quartet_oracle) — only the ann_pass column is imported from "
+    "the Spark run, because the chained ANN legs make DuckDB "
+    "materialize the intra-cell cosine pair space (~1B 64-dim pairs "
+    "across the 4-batch vidx chain; the full-oracle x100 attempt "
+    "spilled past 77 GB and filled the sandbox disk, round-13 lane "
+    "log). The ANN leg itself is exactly verified at x10 by the full "
+    "chained oracle in this row and at sf0.1 in PARITY_SF01."
+)
 
 # Round-10 verdict item 7: the relational/join-heavy scale risks,
 # run against REAL ×10/×100 TPC-H facts (x10 = .scale/sf1, the
@@ -464,9 +469,12 @@ EXPLANATIONS = {
         "queries x ~10x vectors per probed cell per decade), both on "
         "top of the 4x micro-batch drain scaffolding; the gate and "
         "DSIR screens are linear (map-side rules; broadcast "
-        "1024-row model join over the feature explode). The x100 "
-        "chained-CTE checksum verifies all five verdict columns "
-        "exactly"
+        "1024-row model join over the feature explode). Both stateful "
+        "indexes are now ONE commit_batch-partitioned bucketed table "
+        "each (round-13 verdict item 3), probed partition-pruned with "
+        "zero index-side exchange. Verified at x100 by the "
+        "decomposed checksum (gate/DSIR/dup/admitted exact in DuckDB, "
+        "ANN leg imported — see oracle_exemption)"
     ),
     "dedup_keep_best_merge": (
         "the timed incremental path still PAYS cc_label_merge's "
@@ -859,6 +867,73 @@ def _checksum_verdict(spark, spec, sf: str, tag: str) -> dict:
     }
 
 
+def _quartet_verdict(spark, specs, sf10: str, sf100: str) -> dict:
+    """stream_screen_quartet's split verification (QUARTET_KEYS):
+    full chained-CTE checksum at x10 (all five verdict columns, both
+    stateful index chains); at x100 the SAME checksum compare runs
+    against the ANN-leg-imported oracle — Spark's (doc_id, ann_pass)
+    is exported to parquet and _quartet_oracle(ann_import=...) then
+    recomputes gate, DSIR, the chained dup admission, and the
+    composed admitted column EXACTLY in DuckDB. The exemption narrows
+    to the ANN leg alone."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sfdc_cdc_aws_spark.streaming.ingest_quartet import _quartet_oracle
+    from tests.oracle import duck_connection
+
+    spec = specs["stream_screen_quartet"]
+    row = _checksum_verdict(spark, spec, sf10, "10x")
+
+    cols, duck_expr = CHECKSUM_KEYS[spec.name]
+    row_h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *[F.col(c) for c in cols])), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    tmp = tempfile.mkdtemp(prefix="quartet_ann_imp_")
+    try:
+        t0 = time.monotonic()
+        got_pdf = spec.fn(spark, sf100).toPandas()
+        spark_s = round(time.monotonic() - t0, 1)
+        ann_path = os.path.join(tmp, "ann.parquet")
+        got_pdf[["doc_id", "ann_pass"]].to_parquet(ann_path)
+        got = (
+            spark.createDataFrame(got_pdf)
+            .select(row_h.alias("h"))
+            .agg(F.count("*").alias("n"), F.bit_xor("h").alias("x"))
+            .collect()[0]
+        )
+        con = duck_connection(sf100)
+        try:
+            con.execute("SET memory_limit='48GB'")
+            con.execute("SET temp_directory='/tmp/duck_spill'")
+            t0 = time.monotonic()
+            want = con.sql(
+                f"SELECT count(*) AS n, bit_xor(('0x' || "
+                f"substr(md5({duck_expr}), 1, 15))::BIGINT) AS x "
+                f"FROM ({_quartet_oracle(ann_import=ann_path)})"
+            ).fetchone()
+        finally:
+            con.close()
+        duck_s = round(time.monotonic() - t0, 1)
+        ok = (got.n, got.x) == (int(want[0]), int(want[1]))
+        row["oracle_at_100x"] = (
+            f"DECOMP_CHECKSUM(n={got.n}, ann_leg_imported)"
+            if ok
+            else f"DECOMP_MISMATCH(spark=({got.n},{got.x}) "
+            f"duck=({int(want[0])},{int(want[1])}))"
+        )
+        row["decomp_oracle_wall_s"] = duck_s
+        row["decomp_spark_wall_s"] = spark_s
+        row["oracle_exemption"] = QUARTET_X100_EXEMPTION
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return row
+
+
 def _cc_invariants(spark, specs, sf: str) -> dict:
     """Structural proof for dedup_clusters at scale: against the
     checksum-verified pair relation, (1) both endpoints of every edge
@@ -986,6 +1061,15 @@ def main() -> int:
         row["decade2_ratio"] = round(
             row["x100_s"] / max(row["x10_s"], 1e-9), 2
         )
+        if key == "stream_dedup_admit_bucketed":
+            # round-13 verdict item 7: the per-phase breakdown of the
+            # x100 drain just timed (probe work vs per-batch
+            # insertInto/refresh fixed cost), recorded in the artifact
+            from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
+                LAST_ADMIT_PROFILE,
+            )
+
+            row["x100_profile"] = dict(LAST_ADMIT_PROFILE)
         if key == "editdist_verify_neardup":
             # the budget-binding proof: pre-cut candidate counts per
             # scale from the companion relation (round-10 advice key)
@@ -1026,6 +1110,8 @@ def main() -> int:
                     "oracle_at_100x", f"MISMATCH: {str(exc)[:200]}"
                 )
             row["oracle_wall_s"] = round(time.monotonic() - t0, 1)
+        elif key in QUARTET_KEYS:
+            row.update(_quartet_verdict(spark, specs, SF10, SF100))
         elif key in CHECKSUM_KEYS:
             if key in CHECKSUM_X100:
                 row.update(_checksum_verdict(spark, spec, SF100, "100x"))
@@ -1076,6 +1162,7 @@ def main() -> int:
                 "EXEMPT(MATCH",
                 "ELECTION_ORACLE_OK",
                 "MERGE_EQUALS_SCRATCH",
+                "DECOMP_CHECKSUM",
             )
         )
     ]
