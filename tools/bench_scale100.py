@@ -451,15 +451,17 @@ EXPLANATIONS = {
         "recompute it replaces"
     ),
     "stream_dedup_admit_bucketed": (
-        "same pair-space + per-batch-fixed reality as "
-        "stream_dedup_admit_merge (each of the 4 micro-batches probes "
-        "~31k arrival docs' band rows against the growing index, "
-        "family^2 fixture density, 4x fixed drain scaffolding) — the "
-        "bucketed layout changes WHERE the probe's work happens "
-        "(sort-merge off bucket files, no index-side exchange, "
-        "partition-pruned commits) not HOW MANY pairs the fixture "
-        "makes it intersect; the x100 chained-CTE checksum verifies "
-        "the order-dependent admission exactly"
+        "PROFILED at x100 (round-13 verdict item 7, x100_profile in "
+        "this row): ~97% of the wall is bands_s — map-side MinHash "
+        "signature computation over the arriving docs' text, the "
+        "linear per-arrival work every admission scheme pays once "
+        "per doc — NOT the per-batch table machinery (insertInto "
+        "~5 s, catalog refresh <0.1 s, probe+verdict ~4 s across all "
+        "4 batches). The bucketed layout's claims hold: probe "
+        "sort-merges off bucket files with no index-side exchange, "
+        "commits are partition-pruned and idempotent; the x100 "
+        "chained-CTE checksum verifies the order-dependent admission "
+        "exactly"
     ),
     "stream_screen_quartet": (
         "TWO pair-space legs by fixture construction: the dup leg is "
