@@ -140,6 +140,47 @@ def minhash_sig_df(d: DataFrame) -> DataFrame:
     )
 
 
+def minhash_sig_agg_df(d: DataFrame) -> DataFrame:
+    """BATCH twin of minhash_sig_df — identical signature VALUES
+    (same shingle hash, same affine family, same mins; the two are
+    pinned byte-equal by tests/test_dedup_blocking.py), ~10× faster.
+
+    The expression fold above runs through Catalyst's interpreted
+    higher-order functions: every shingle allocates a fresh
+    16-element accumulator array and evaluates a nested
+    transform/zip_with lambda tree outside whole-stage codegen —
+    measured ~14 ms/doc, 97% of the bucketed admit drain's x100 wall
+    (BENCH_SCALE100 x100_profile.bands_s). This formulation stays
+    entirely inside codegen: explode the hashed shingles once, derive
+    the N_HASHES affine images as flat integer columns, and take
+    per-doc mins with a hash aggregate. Map-side partial aggregation
+    collapses the exploded rows before the (doc_id-keyed) exchange,
+    so the shuffle carries one 16-column row per doc — at 100 TB the
+    explode never materializes off-core.
+
+    Batch-only: the groupBy makes it a streaming AGGREGATION on an
+    unbounded input (breaking downstream stream-static joins), so
+    readStream paths (stream_minhash_ingest) keep the expression
+    fold; foreachBatch folds and materializers use this."""
+    hashed = F.transform(_word_shingles(3), lambda s: _spark_hash31(s))
+    mins = [
+        F.min(((i * 31 + 17) * F.col("_x") + i * 7919 + 3) % P31).alias(
+            f"_s{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+    return (
+        d.where(F.size(tokens_col()) >= 3)
+        .select("doc_id", F.explode(hashed).alias("_x"))
+        .groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[f"_s{i}" for i in range(N_HASHES)]).alias("sig"),
+        )
+    )
+
+
 def minhash_signatures(
     spark: SparkSession, sf_dir: str, base: str = "/tmp/sfdc_minhash_sigs"
 ) -> DataFrame:
@@ -163,7 +204,7 @@ def minhash_signatures(
     )
     out = os.path.join(base, name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        minhash_sig_df(
+        minhash_sig_agg_df(
             load_table(spark, sf_dir, "documents", widen=True)
         ).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)

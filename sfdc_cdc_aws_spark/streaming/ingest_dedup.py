@@ -34,6 +34,7 @@ from sfdc_cdc_aws_spark.operators.dedup import (
     ROWS_PER_BAND,
     _connected_components,
     lsh_bucket_pairs,
+    minhash_sig_agg_df,
     minhash_sig_df,
     sig_bands,
 )
@@ -77,7 +78,7 @@ def ensure_band_index(
     out = os.path.join(base, name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         sig_bands(
-            minhash_sig_df(
+            minhash_sig_agg_df(
                 load_table(spark, sf_dir, "documents", widen=True).where(
                     F.col("doc_id") % ARRIVAL_MOD != 0
                 )
@@ -209,7 +210,7 @@ def ensure_band_delta(
     out = os.path.join(base, name)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         sig_bands(
-            minhash_sig_df(
+            minhash_sig_agg_df(
                 load_table(spark, sf_dir, "documents", widen=True).where(
                     F.col("doc_id") % ARRIVAL_MOD == 0
                 )
@@ -494,7 +495,7 @@ def run_admit_drain(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         bands_b = (
-            sig_bands(minhash_sig_df(batch_df))
+            sig_bands(minhash_sig_agg_df(batch_df))
             .select("doc_id", "band_id", "bucket")
             .localCheckpoint()
         )
@@ -1060,7 +1061,7 @@ def admit_bkt_probe_plan(
     partition pruning keeps only commits < b, the index FileScan
     feeds the sort-merge join straight off its bucket files, and the
     ONLY exchange is the (small) batch side's band rows."""
-    bands_b = sig_bands(minhash_sig_df(batch_df)).select(
+    bands_b = sig_bands(minhash_sig_agg_df(batch_df)).select(
         "doc_id", "band_id", "bucket"
     )
     idx = spark.table(tbl).where(F.col("commit_batch") < batch_id)
@@ -1149,7 +1150,7 @@ def _admit_drain_bucketed_locked(
         prof["refresh_s"] += time.monotonic() - t0
         t0 = time.monotonic()
         bands_b = (
-            sig_bands(minhash_sig_df(batch_df))
+            sig_bands(minhash_sig_agg_df(batch_df))
             .select("doc_id", "band_id", "bucket")
             .localCheckpoint()
         )

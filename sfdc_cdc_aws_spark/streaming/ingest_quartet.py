@@ -38,7 +38,7 @@ from sfdc_cdc_aws_spark.operators.dedup import (
     _DUCK_SIG_CTE,
     N_BANDS,
     ROWS_PER_BAND,
-    minhash_sig_df,
+    minhash_sig_agg_df,
     sig_bands,
 )
 from sfdc_cdc_aws_spark.operators.similarity import (
@@ -605,7 +605,7 @@ def _quartet_drain_locked(
             "doc_id", F.coalesce(~F.col("hit"), F.lit(True)).alias("ann_pass")
         )
         bands_b = (
-            sig_bands(minhash_sig_df(b))
+            sig_bands(minhash_sig_agg_df(b))
             .select("doc_id", "band_id", "bucket")
             .localCheckpoint()
         )

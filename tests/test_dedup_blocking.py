@@ -474,3 +474,21 @@ def test_allpairs_prefix_actually_prunes(spark):
         .collect()
     }
     assert {(r.doc_a, r.doc_b) for r in rows} == brute
+
+
+def test_minhash_sig_agg_df_byte_equals_expression_fold(spark):
+    """The batch aggregation twin (explode → 16 codegen min-aggs)
+    must produce EXACTLY the expression fold's signatures — same doc
+    set, same 16 mins per doc — on real testdata. The ~10× plan win
+    (BENCH_SCALE100 x100_profile.bands_s) buys nothing if the hash
+    family drifts; this is the pin the agg twin's docstring cites."""
+    from sfdc_cdc_aws_spark.operators.dedup import (
+        minhash_sig_agg_df,
+        minhash_sig_df,
+    )
+    from sfdc_cdc_aws_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents", widen=True)
+    fold = {r.doc_id: list(r.sig) for r in minhash_sig_df(docs).collect()}
+    agg = {r.doc_id: list(r.sig) for r in minhash_sig_agg_df(docs).collect()}
+    assert fold == agg and len(fold) > 0

@@ -722,7 +722,12 @@ def test_bucketed_admit_probe_only_batch_side_shuffles(spark):
     batch = spark.read.parquet(ensure_doc_landing(spark, SF))
     probe = admit_bkt_probe_plan(spark, batch, tbl, batch_id=2)
     probe.count()
-    assert exchange_count(probe) == 1
+    # TWO batch-side exchanges: the signature hash-aggregate's
+    # (doc_id — carries ~1 row/doc after map-side partial agg; the
+    # price of minhash_sig_agg_df's 10x codegen win) and the band
+    # rows' for the sort-merge join. Still ZERO on the index side —
+    # that is the contract this test exists to pin.
+    assert exchange_count(probe) == 2
     plan = plan_string(probe)
     assert "SortMergeJoin" in plan
     # partition pruning reaches the scan: the index "as of" batch 2
