@@ -410,11 +410,20 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token stream shuffles once on (doc_id, idx) for the
     anti-join and once on doc_id for reassembly — both rows of
     ≤~32 bytes. Nothing iterative, nothing collected."""
+    from sfdc_cdc_aws_spark.session import truncate_lineage
+
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", tokens_col().alias("t")).where(
-        F.size("t") >= 1
+    # tokenize ONCE: three consumers (span hashing, token reassembly,
+    # the per-doc size anchor) otherwise each re-run the regex
+    # tokenizer over the corpus (the ngram_jaccard/allpairs
+    # discipline)
+    base = truncate_lineage(
+        d.select("doc_id", tokens_col().alias("t")).where(F.size("t") >= 1)
     )
-    spans = (
+    # hash every sliding span ONCE: both the duplicated-head aggregate
+    # and the coverage join consume this relation, and the md5-per-span
+    # map is the key's dominant CPU
+    spans = truncate_lineage(
         base.where(F.size("t") >= EXSUB_K)
         .select(
             "doc_id",

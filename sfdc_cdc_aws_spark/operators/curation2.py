@@ -443,14 +443,21 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs in deterministic hash order while the running token count
     stays inside its allocation.
 
-    Plan: stages are cumulative predicates over ONE scan (Catalyst
-    collapses the stage filters; the extra structures are the LSH
-    pair relation — Σ bucket², already bounded by the banding — the
-    broadcast 1024-bucket DSIR model, the per-source windows over cap
-    and budget survivors, and the |sources|-row allocation relation).
-    The seven stage aggregates union into a 7-row manifest; at 100 TB
-    this is the same one-pass-plus-dedup-plus-model cost as running
-    the final stage alone."""
+    Plan (round-14 single-pass restructure, guide §2.4): the seven
+    stage aggregates used to be a UNION of seven branches, and
+    Catalyst does not share common subtrees across union arms — the
+    LSH pair relation executed 4x and the DSIR model 2x. Stages are
+    nested subsets, so the whole funnel reduces to ONE doc-level
+    relation carrying a boolean per stage (membership in stage k):
+    the expensive inputs (LSH pairs, DSIR weights) compute exactly
+    once, the per-source windows run once over flag-sorted order
+    (survivors sort first, so their row_number/running-sum equal the
+    subset's), and the 7-row manifest is a single aggregate of flag
+    sums pivoted with stack(). The flags relation is
+    lineage-truncated between the window pass and the |sources|-row
+    allocation aggregate that must re-read it. Same oracle,
+    row-identical output, ~3x fewer executions of the dominant
+    subtrees."""
     from sfdc_cdc_aws_spark.operators.dedup import minhash_lsh_dedup
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -460,47 +467,58 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size(tokens_col()).alias("n_tok"),
     )
-    s1 = d.where(F.col("lang") == "en")
-    s2 = s1.where(
-        (F.col("n_tok") >= _GATE_MIN_TOKENS)
+    f2_pred = (
+        (F.col("lang") == "en")
+        & (F.col("n_tok") >= _GATE_MIN_TOKENS)
         & (F.col("n_chars") < _GATE_MAX_CHARS)
     )
     # dedup among gate survivors: drop the higher id of every LSH
     # pair whose BOTH endpoints passed the gate
     pairs = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
-    gated_ids = s2.select("doc_id")
+    gated_ids = d.where(f2_pred).select("doc_id")
     drop = (
         pairs.join(gated_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(gated_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s3 = s2.join(drop, "doc_id", "left_anti")
-    w = Window.partitionBy("source").orderBy(
-        shared_hash64(F.col("doc_id").cast("string")), "doc_id"
-    )
-    s4 = (
-        s3.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= FUNNEL_DOMAIN_CAP)
-        .drop("rk")
-    )
-    # stage 5: DSIR selection — keep cap survivors the importance
-    # model scores target-ward (the resampling step's deterministic
-    # acceptance core; the model is the already-verified
-    # dsir_importance_weights relation, trained on the full corpus)
     dw = dsir_importance_weights(spark, sf_dir).select(
         "doc_id", "log_weight"
     )
-    s5 = (
-        s4.join(dw, "doc_id")
-        .where(F.col("log_weight") > 0)
-        .drop("log_weight")
+    h = shared_hash64(F.col("doc_id").cast("string"))
+    # per-source rank among f3 survivors: survivors order first, so
+    # row_number equals their rank within the f3 subset (non-survivors
+    # get garbage ranks their false flag ignores)
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("f3").desc(), h, "doc_id"
     )
+    flags = (
+        d.withColumn("f1", F.col("lang") == "en")
+        .withColumn("f2", f2_pred)
+        .join(drop.withColumn("_dropped", F.lit(True)), "doc_id", "left")
+        .withColumn("f3", F.col("f2") & F.col("_dropped").isNull())
+        .withColumn(
+            "f4",
+            F.col("f3")
+            & (F.row_number().over(w_rank) <= FUNNEL_DOMAIN_CAP),
+        )
+        .join(dw, "doc_id", "left")
+        .withColumn(
+            "f5",
+            F.col("f4") & F.coalesce(F.col("log_weight") > 0, F.lit(False)),
+        )
+        .select("doc_id", "source", "n_tok", "f1", "f2", "f3", "f4", "f5")
+    )
+    # the allocation aggregate below re-reads this relation: truncate
+    # so the pair/model/window prefix executes once, not twice
+    flags = truncate_lineage(flags)
     # stage 6: token-budget fill — largest-remainder apportionment of
     # FUNNEL_TOKEN_BUDGET over the DSIR survivors' per-source token
     # mass, then greedy admission per source in hash order while the
     # inclusive running token count fits the allocation
-    src = s5.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    src = flags.where("f5").groupBy("source").agg(
+        F.sum("n_tok").alias("src_tokens")
+    )
     w_all = Window.partitionBy()
     quota = FUNNEL_TOKEN_BUDGET * (
         F.col("src_tokens").cast("double") / F.sum("src_tokens").over(w_all)
@@ -523,34 +541,59 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("frac_rank") <= F.col("leftover")).cast("long")
         ).alias("alloc_tokens"),
     )
-    s6 = (
-        s5.withColumn("cum", F.sum("n_tok").over(w))
-        .join(F.broadcast(alloc), "source")
-        .where(F.col("cum") <= F.col("alloc_tokens"))
-        .drop("cum", "alloc_tokens")
+    # inclusive running token sum among f5 survivors in hash order
+    # (survivors first; non-survivors contribute 0 and fail f6 anyway)
+    w_cum = Window.partitionBy("source").orderBy(
+        F.col("f5").desc(), h, "doc_id"
+    )
+    staged = (
+        flags.withColumn(
+            "cum",
+            F.sum(F.when(F.col("f5"), F.col("n_tok")).otherwise(0)).over(
+                w_cum
+            ),
+        )
+        .join(F.broadcast(alloc), "source", "left")
+        .withColumn(
+            "f6",
+            F.col("f5")
+            & F.coalesce(F.col("cum") <= F.col("alloc_tokens"), F.lit(False)),
+        )
     )
 
-    def stage(df: DataFrame, sid: int, name: str) -> DataFrame:
-        return df.agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias(
-                "n_tokens"
-            ),
-        ).select(
-            F.lit(sid).alias("stage"),
-            F.lit(name).alias("stage_name"),
-            "n_docs",
-            "n_tokens",
-        )
+    def n_docs(flag):
+        return F.coalesce(F.sum(flag.cast("long")), F.lit(0)).cast("bigint")
 
-    return (
-        stage(d, 0, "raw")
-        .unionAll(stage(s1, 1, "lang_en"))
-        .unionAll(stage(s2, 2, "quality_gate"))
-        .unionAll(stage(s3, 3, "lsh_dedup"))
-        .unionAll(stage(s4, 4, "domain_cap"))
-        .unionAll(stage(s5, 5, "dsir_select"))
-        .unionAll(stage(s6, 6, "token_budget"))
+    def n_toks(flag):
+        return F.coalesce(
+            F.sum(F.when(flag, F.col("n_tok"))), F.lit(0)
+        ).cast("bigint")
+
+    stage_flags = [
+        ("raw", F.lit(True)),
+        ("lang_en", F.col("f1")),
+        ("quality_gate", F.col("f2")),
+        ("lsh_dedup", F.col("f3")),
+        ("domain_cap", F.col("f4")),
+        ("dsir_select", F.col("f5")),
+        ("token_budget", F.col("f6")),
+    ]
+    one = staged.agg(
+        *[
+            c
+            for i, (_, fl) in enumerate(stage_flags)
+            for c in (
+                n_docs(fl).alias(f"d{i}"),
+                n_toks(fl).alias(f"t{i}"),
+            )
+        ]
+    )
+    rows = ", ".join(
+        f"{i}, '{name}', d{i}, t{i}"
+        for i, (name, _) in enumerate(stage_flags)
+    )
+    return one.selectExpr(
+        f"stack({len(stage_flags)}, {rows}) AS (stage, stage_name, n_docs, n_tokens)"
     )
 
 

@@ -549,13 +549,23 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work stays spread over g(g+1)/2 shuffle keys per hot shingle; the
     number of over-cap lists rides along as the observed metric
     ``salted_posting_lists``, at zero extra jobs."""
+    from sfdc_cdc_aws_spark.session import truncate_lineage
+
     d = load_table(spark, sf_dir, "documents", widen=True)
-    sh = d.where(F.size(tokens_col()) >= 4).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(_word_shingles(4), lambda g: shared_hash64(g))
-        ).alias("h"),
+    # ONE execution of the tokenize→shingle→md5 pipeline: the relation
+    # feeds doc sizes, posting-list sizes AND both pair-expansion
+    # branches — without truncation each consumer re-tokenizes and
+    # re-hashes the corpus (profiled: 3 stages x ~20 s executor run at
+    # sf0.1, ~the whole key). The narrow (doc_id, lang, h) rows are
+    # the cheap proxy the heavy work reduces to (guide §8).
+    sh = truncate_lineage(
+        d.where(F.size(tokens_col()) >= 4).select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(_word_shingles(4), lambda g: shared_hash64(g))
+            ).alias("h"),
+        )
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (

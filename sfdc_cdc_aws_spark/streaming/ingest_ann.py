@@ -95,7 +95,11 @@ def _probe_cells_expr(emb: F.Column, nrm: F.Column, cents) -> F.Column:
             F.struct(
                 cosine_prenorm(
                     emb,
-                    F.array(*[F.lit(float(x)) for x in vec]),
+                    # one array literal per centroid (a single py4j
+                    # call), not one F.lit per component — this
+                    # expression is 16 centroids x 64 dims and is
+                    # built on the driver's critical path
+                    F.lit([float(x) for x in vec]),
                     nrm,
                     F.lit(c_nrm),
                 ).alias("cos"),

@@ -60,6 +60,7 @@ from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
     ensure_band_index,
     _ensure_corpus_partition,
     reset_batch_partitions,
+    spread_batch,
     stamp_batch_mtimes,
 )
 from sfdc_cdc_aws_spark.streaming.ingest_dsir import ensure_dsir_model
@@ -506,6 +507,13 @@ def run_quartet_drain(
         os.close(lock_fd)
 
 
+#: per-phase wall breakdown of the LAST quartet drain in this process
+#: — the LAST_ADMIT_PROFILE discipline (round-13 verdict item 7)
+#: extended to the registry's most expensive key so "which screen is
+#: slow" is a recorded number, not a guess.
+LAST_QUARTET_PROFILE: dict = {}
+
+
 def _quartet_drain_locked(
     spark: SparkSession,
     sf_dir: str,
@@ -518,7 +526,9 @@ def _quartet_drain_locked(
     kill_after_batch: int | None,
 ) -> DataFrame:
     import shutil
+    import time
 
+    t_setup = time.monotonic()
     e = load_table(spark, sf_dir, "embeddings")
     cents = [
         (
@@ -539,6 +549,13 @@ def _quartet_drain_locked(
         )
         .localCheckpoint()
     )
+    # the centroid-scoring expression bakes N_CENTROIDS x 64 array
+    # literals into the plan — ~1 s of py4j driver work PER BUILD.
+    # Columns are reusable unresolved trees: build it once per drain
+    # instead of twice per micro-batch (measured ~8 s off the sf0.1
+    # drain wall).
+    probe_cells = _probe_cells_expr(F.col("embedding"), F.col("nrm"), cents)
+    top1_cell = F.element_at(probe_cells, 1)["cent_id"]
     verdict_base = f"{state}/verdicts"
     ckpt = f"{state}/ckpt"
     if not os.path.isdir(ckpt):
@@ -548,16 +565,41 @@ def _quartet_drain_locked(
         reset_batch_partitions(spark, tbl, _quartet_tbl_path(tbl))
         reset_batch_partitions(spark, vtbl, _quartet_tbl_path(vtbl))
 
+    prof = {
+        "setup_s": 0.0,
+        "stream_s": 0.0,
+        "result_s": 0.0,
+        "cleanup_s": 0.0,
+        "refresh_s": 0.0,
+        "batch_s": 0.0,
+        "bands_s": 0.0,
+        "verdict_s": 0.0,
+        "insert_bands_s": 0.0,
+        "insert_vecs_s": 0.0,
+        "batches": 0,
+    }
+    prof["setup_s"] = time.monotonic() - t_setup
+    LAST_QUARTET_PROFILE.clear()
+    LAST_QUARTET_PROFILE.update(prof)
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch runs in a CLONED session whose catalog relation
         # cache is separate from the outer session's: resolve through
         # the batch's session and force a listing refresh so batch b
         # sees the partitions batch b-1 committed
         s = batch_df.sparkSession
+        t0 = time.monotonic()
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         s.catalog.refreshTable(tbl)
         s.catalog.refreshTable(vtbl)
-        b = batch_df.localCheckpoint()
+        prof["refresh_s"] += time.monotonic() - t0
+        t0 = time.monotonic()
+        # one-file micro-batch = one partition: fan out BEFORE the
+        # localCheckpoint so every downstream screen (md5 shingle
+        # fold, DSIR feature hash, probe joins) starts wide instead
+        # of single-task (see ingest_dedup.spread_batch)
+        b = spread_batch(batch_df).localCheckpoint()
+        prof["batch_s"] += time.monotonic() - t0
         ids = b.select("doc_id")
         gate = b.select("doc_id", _gate_pass().alias("gate_pass"))
         model = F.broadcast(s.read.parquet(model_path))
@@ -584,9 +626,7 @@ def _quartet_drain_locked(
                 "doc_id",
                 "embedding",
                 "nrm",
-                F.explode(
-                    _probe_cells_expr(F.col("embedding"), F.col("nrm"), cents)
-                ).alias("p"),
+                F.explode(probe_cells).alias("p"),
             )
             .select(
                 "doc_id", "embedding", "nrm", F.col("p.cent_id").alias("cent_id")
@@ -604,11 +644,13 @@ def _quartet_drain_locked(
         ).select(
             "doc_id", F.coalesce(~F.col("hit"), F.lit(True)).alias("ann_pass")
         )
+        t0 = time.monotonic()
         bands_b = (
             sig_bands(minhash_sig_agg_df(b))
             .select("doc_id", "band_id", "bucket")
             .localCheckpoint()
         )
+        prof["bands_s"] += time.monotonic() - t0
         flagged = (
             quartet_dup_probe_plan(s, bands_b, tbl, batch_id)
             .select("doc_id")
@@ -619,6 +661,7 @@ def _quartet_drain_locked(
         ).select(
             "doc_id", F.coalesce(~F.col("hit"), F.lit(True)).alias("dup_pass")
         )
+        t0 = time.monotonic()
         verdicts = (
             gate.join(dsir, "doc_id")
             .join(ann, "doc_id")
@@ -641,6 +684,7 @@ def _quartet_drain_locked(
         verdicts.write.mode("overwrite").parquet(
             f"{verdict_base}/b{batch_id}"
         )
+        prof["verdict_s"] += time.monotonic() - t0
         # both folds are dynamic-partition-overwrite insertInto:
         # commits EXACTLY partition commit_batch=b, bucketed,
         # idempotent under micro-batch replay
@@ -652,11 +696,13 @@ def _quartet_drain_locked(
             "bucket",
             F.lit(batch_id).alias("commit_batch"),
         )
+        t0 = time.monotonic()
         (
             adm_bands.repartition(INDEX_BUCKETS, "band_id", "bucket")
             .write.mode("overwrite")
             .insertInto(tbl)
         )
+        prof["insert_bands_s"] += time.monotonic() - t0
         # admitted docs' vectors fold back at their TOP-1 IVF cell —
         # the same rn=1 assignment the corpus index uses
         adm_vecs = (
@@ -664,19 +710,22 @@ def _quartet_drain_locked(
             .select("doc_id")
             .join(arr_vecs, "doc_id")
             .select(
-                F.element_at(
-                    _probe_cells_expr(F.col("embedding"), F.col("nrm"), cents),
-                    1,
-                )["cent_id"].alias("cent_id"),
+                top1_cell.alias("cent_id"),
                 F.col("embedding").alias("c_embedding"),
                 F.col("nrm").alias("c_nrm"),
                 F.lit(batch_id).alias("commit_batch"),
             )
         )
+        t0 = time.monotonic()
         (
             adm_vecs.repartition(INDEX_BUCKETS, "cent_id")
             .write.mode("overwrite")
             .insertInto(vtbl)
+        )
+        prof["insert_vecs_s"] += time.monotonic() - t0
+        prof["batches"] += 1
+        LAST_QUARTET_PROFILE.update(
+            {k: round(v, 3) if isinstance(v, float) else v for k, v in prof.items()}
         )
         if kill_after_batch is not None and batch_id >= kill_after_batch:
             # die with the partitions + verdicts written but the
@@ -700,7 +749,10 @@ def _quartet_drain_locked(
             .trigger(availableNow=True)
             .start()
         )
+        t_stream = time.monotonic()
         q.awaitTermination()
+        prof["stream_s"] = time.monotonic() - t_stream
+        t_res = time.monotonic()
         result = (
             spark.read.parquet(f"{verdict_base}/b*")
             .select(
@@ -716,15 +768,21 @@ def _quartet_drain_locked(
             )
             .localCheckpoint()
         )
+        prof["result_s"] = time.monotonic() - t_res
     finally:
         # in-process cleanup only — a SIGKILL never reaches this, so
         # the killed run's checkpoint, verdicts, and committed
         # partitions persist and the next invocation resumes (the
         # caller's finally closes the flock fd)
         if not keep_state:
+            t_cl = time.monotonic()
             shutil.rmtree(state, ignore_errors=True)
             reset_batch_partitions(spark, tbl, _quartet_tbl_path(tbl))
             reset_batch_partitions(spark, vtbl, _quartet_tbl_path(vtbl))
+            prof["cleanup_s"] = time.monotonic() - t_cl
+        LAST_QUARTET_PROFILE.update(
+            {k: round(v, 3) if isinstance(v, float) else v for k, v in prof.items()}
+        )
     return result
 
 

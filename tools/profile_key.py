@@ -115,6 +115,7 @@ def parse_eventlog(path: str, t_lo_ms: float, t_hi_ms: float) -> None:
                     "wall_s": (comp - sub) / 1000.0,
                     "run_s": num("internal.metrics.executorRunTime") / 1000.0,
                     "cpu_s": num("internal.metrics.executorCpuTime") / 1e9,
+                    "gc_s": num("internal.metrics.jvmGCTime") / 1000.0,
                     "sh_read_mb": num("internal.metrics.shuffle.read.remoteBytesRead")
                     / 1e6
                     + num("internal.metrics.shuffle.read.localBytesRead") / 1e6,
@@ -134,15 +135,15 @@ def parse_eventlog(path: str, t_lo_ms: float, t_hi_ms: float) -> None:
         f"sum(executor run)={total_run:.2f}s"
     )
     print(
-        "  {:>5} {:>7} {:>7} {:>7} {:>8} {:>8} {:>8} {:>5}  {}".format(
-            "stage", "wall_s", "run_s", "cpu_s", "shRd_MB", "shWr_MB", "in_MB", "task", "desc"
+        "  {:>5} {:>7} {:>7} {:>7} {:>6} {:>8} {:>8} {:>8} {:>5}  {}".format(
+            "stage", "wall_s", "run_s", "cpu_s", "gc_s", "shRd_MB", "shWr_MB", "in_MB", "task", "desc"
         )
     )
     for (sid, att), r in rows[:25]:
         desc = (jobs.get(r["job"]) or r["name"])[:82]
         print(
-            "  {:>5} {:>7.2f} {:>7.2f} {:>7.2f} {:>8.1f} {:>8.1f} {:>8.1f} {:>5}  {}".format(
-                sid, r["wall_s"], r["run_s"], r["cpu_s"], r["sh_read_mb"],
+            "  {:>5} {:>7.2f} {:>7.2f} {:>7.2f} {:>6.2f} {:>8.1f} {:>8.1f} {:>8.1f} {:>5}  {}".format(
+                sid, r["wall_s"], r["run_s"], r["cpu_s"], r["gc_s"], r["sh_read_mb"],
                 r["sh_write_mb"], r["in_mb"], r["tasks"], desc
             )
         )
