@@ -110,7 +110,11 @@ def stream_backfill_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["replay_id", "record_id"])
         .select("record_id", "replay_id", "change_type")
     )
-    live = _partial(run_available_now(tail, "backfill_live"), "live")
+    # dedup emits on first arrival — the trailing zero-row batch only
+    # evicts state, so skip it
+    live = _partial(
+        run_available_now(tail, "backfill_live", no_data_batch=False), "live"
+    )
 
     side_sum = lambda s: F.sum(  # noqa: E731
         F.when(F.col("side") == s, F.col("n_changes")).otherwise(F.lit(0))

@@ -209,8 +209,9 @@ def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("new_doc", "corpus_doc")
         .agg(F.count("*").alias("n_shared_bands"))
     )
+    # complete mode: the last data batch already emitted the full state
     return run_available_now(
-        matches, "minhash_ingest", output_mode="complete"
+        matches, "minhash_ingest", output_mode="complete", no_data_batch=False
     )
 
 def ensure_band_delta(

@@ -181,4 +181,7 @@ def stream_dsir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c").cast("double"), 6).alias("log_weight"),
         )
     )
-    return run_available_now(scored, "dsir_ingest", output_mode="complete")
+    # complete mode: the last data batch already emitted the full state
+    return run_available_now(
+        scored, "dsir_ingest", output_mode="complete", no_data_batch=False
+    )

@@ -255,6 +255,7 @@ def run_available_now(
     name_prefix: str,
     output_mode: str = "append",
     shuffle_partitions: int | None = 8,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """Drain a streaming DataFrame to a memory sink with the
     availableNow trigger (deterministic: processes everything, then
@@ -269,7 +270,20 @@ def run_available_now(
     not the session's scan parallelism. The fresh checkpoint per call
     makes the number free to vary; pass None to keep the session
     setting (a long-lived production job with many keys wants the
-    larger width)."""
+    larger width).
+
+    ``no_data_batch`` scopes ``spark.sql.streaming.noDataMicroBatches``
+    for the drain. After the last data batch a stateful availableNow
+    drain runs one extra zero-row micro-batch so watermark-gated
+    output (outer-join unmatched rows, append-mode window closes) can
+    emit — a full trigger (planning + state-store commit across every
+    partition; measured 0.7-1.8 s per drain at sf0.1) that produces
+    nothing for drains whose rows all emit ON ARRIVAL (the
+    dropDuplicates family, inner stream-stream join) or whose
+    ``complete``-mode sink already re-emits the full state each data
+    batch. Callers whose output provably cannot depend on the
+    trailing batch pass False; anything watermark-gated
+    (``cdc_stream_outer_join``) keeps the default True."""
     import json as _json
 
     from pyspark.sql.streaming import StreamingQueryListener
@@ -280,6 +294,10 @@ def run_available_now(
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    _NDB = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_ndb = spark.conf.get(_NDB)
+    if not no_data_batch:
+        spark.conf.set(_NDB, "false")
 
     obs_by_batch: dict[int, dict] = {}
 
@@ -356,6 +374,8 @@ def run_available_now(
         # quality_gate so every drained screen gets the guarantee)
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if not no_data_batch:
+            spark.conf.set(_NDB, old_ndb)
         try:
             spark.streams.removeListener(listener)
         except Exception:
@@ -429,7 +449,11 @@ def cdc_stream_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. This is the §5.5 batch≡stream parity property as a
     driver-verified query."""
     landing = ensure_landing(spark, sf_dir)
-    drained = run_available_now(changes_stream(spark, landing), "cdc_changes")
+    # dropDuplicates emits each change on first arrival — the trailing
+    # zero-row batch cannot add rows, so skip it
+    drained = run_available_now(
+        changes_stream(spark, landing), "cdc_changes", no_data_batch=False
+    )
     return (
         drained.groupBy("entity_name", "uid")
         .agg(
@@ -459,7 +483,9 @@ def cdc_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = ensure_landing(spark, sf_dir)
     snapshot = load_table(spark, sf_dir, "customer")
     stream = enriched_union(changes_stream(spark, landing), snapshot)
-    return run_available_now(stream, "cdc_pipeline")
+    # dedup emits on arrival; the enrichment join is stream-static —
+    # nothing is watermark-gated, so skip the trailing zero-row batch
+    return run_available_now(stream, "cdc_pipeline", no_data_batch=False)
 
 
 @query(
@@ -486,7 +512,11 @@ def cdc_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
         )
     )
-    return run_available_now(agg, "cdc_tumbling", output_mode="complete")
+    # complete mode re-emits the full state every data batch — the
+    # trailing zero-row batch re-emits the same rows
+    return run_available_now(
+        agg, "cdc_tumbling", output_mode="complete", no_data_batch=False
+    )
 
 
 SS_OUTER_WM_MS = 10_000  # watermark delay of the outer-join sides
@@ -566,7 +596,10 @@ def cdc_stream_dedup_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
         )
     )
-    return run_available_now(agg, "cdc_dedup_tumbling", output_mode="complete")
+    # complete mode: the last data batch already emitted the full state
+    return run_available_now(
+        agg, "cdc_dedup_tumbling", output_mode="complete", no_data_batch=False
+    )
 
 
 @query(
@@ -600,7 +633,10 @@ def cdc_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
         )
     )
-    return run_available_now(agg, "cdc_sliding", output_mode="complete")
+    # complete mode: the last data batch already emitted the full state
+    return run_available_now(
+        agg, "cdc_sliding", output_mode="complete", no_data_batch=False
+    )
 
 
 @query(
@@ -630,7 +666,10 @@ def cdc_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
         )
     )
-    return run_available_now(agg, "cdc_session", output_mode="complete")
+    # complete mode: the last data batch already emitted the full state
+    return run_available_now(
+        agg, "cdc_session", output_mode="complete", no_data_batch=False
+    )
 
 
 def stateful_entity_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,7 +710,9 @@ def stateful_entity_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    drained = run_available_now(updates, "cdc_state_counter")
+    # NoTimeout state: a zero-row batch has no groups to invoke the
+    # function with, so the trailing batch cannot emit
+    drained = run_available_now(updates, "cdc_state_counter", no_data_batch=False)
     return drained.groupBy("entity_name").agg(
         F.max("n_changes").alias("n_changes")
     )
@@ -713,11 +754,18 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan parallelism; fresh checkpoint per call makes this free)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # suppress the trailing zero-row micro-batch: it would invoke
+    # foreachBatch with an empty delta and pay a whole write-audit-
+    # publish epoch (measured ~1.4 s) to republish an identical state
+    _ndb = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_ndb = spark.conf.get(_ndb)
+    spark.conf.set(_ndb, "false")
     try:
         q = snap.attach(ch, f"/tmp/sfdc_cdc_merge/{run_id}/ckpt")
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(_ndb, old_ndb)
     result = snap.current().select(
         "entity_name",
         "record_id",
@@ -804,11 +852,17 @@ def cdc_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # same trailing-empty-batch suppression as cdc_incremental_merge:
+    # an empty delta would still pay a full write-audit-publish epoch
+    _ndb = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_ndb = spark.conf.get(_ndb)
+    spark.conf.set(_ndb, "false")
     try:
         q = attach_with_drift(snap, st, f"/tmp/sfdc_cdc_drift/{run_id}/ckpt")
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(_ndb, old_ndb)
     result = snap.current().select(
         "entity_name",
         "record_id",
@@ -860,7 +914,9 @@ def cdc_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join buffers BOTH sides in per-partition state stores —
     # run_available_now's scoped shuffle width keeps the state-store
     # count tracking key cardinality, not scan parallelism
-    return run_available_now(joined, "cdc_ss_join")
+    # INNER join emits matches as they arrive; only the OUTER variant
+    # needs the trailing watermark batch for its null rows
+    return run_available_now(joined, "cdc_ss_join", no_data_batch=False)
 
 
 def _borrow_oracles() -> None:
@@ -1029,7 +1085,9 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .withWatermark("commit_ts", REPLAY_DEDUP_HORIZON)
         .dropDuplicatesWithinWatermark(["replay_id", "record_id"])
     )
-    drained = run_available_now(deduped, "dedup_wm")
+    # WithinWatermark dedup also emits on first arrival — the trailing
+    # batch only evicts state, it cannot emit
+    drained = run_available_now(deduped, "dedup_wm", no_data_batch=False)
     return drained.select(
         "entity_name", "record_id", "uid", "change_type",
         "commit_ts_ms", "replay_id", "commit_number",

@@ -133,7 +133,10 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now,
     )
 
-    result = run_available_now(gated, "quality_gate", output_mode="complete")
+    # complete mode: the last data batch already emitted the full state
+    result = run_available_now(
+        gated, "quality_gate", output_mode="complete", no_data_batch=False
+    )
     obs = LAST_DRAIN_OBSERVED.get("quality_gate", {})
     n_in = int(obs.get("quality_gate.n_in", 0))
     n_pass = int(obs.get("quality_gate.n_pass", 0))
