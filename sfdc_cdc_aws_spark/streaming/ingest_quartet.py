@@ -555,7 +555,92 @@ def _quartet_drain_locked(
     # instead of twice per micro-batch (measured ~8 s off the sf0.1
     # drain wall).
     probe_cells = _probe_cells_expr(F.col("embedding"), F.col("nrm"), cents)
-    top1_cell = F.element_at(probe_cells, 1)["cent_id"]
+    # ---- batch-invariant screen inputs, computed ONCE per drain
+    # (guide §2.4). Gate verdicts, DSIR weights, MinHash band rows,
+    # probe-cell assignments and the top-1 fold-back cell are all pure
+    # per-doc functions of the landing — only the two INDEX PROBES
+    # (dup, ANN) depend on drain state, and those stay per batch.
+    # Recomputing the stateless legs inside every foreachBatch
+    # multiplied their cost by the batch count AND re-analyzed the
+    # 1024-literal centroid tree per batch. Each relation is
+    # localCheckpointed (one execution, N-batch fan-out), recomputed
+    # fresh per invocation — deterministic, so a crash-resumed drain
+    # rebuilds identical values.
+    arr_all = spread_batch(
+        spark.read.schema(
+            "doc_id long, text string, lang string, n_chars long"
+        ).parquet(landing + "/b*")
+    ).localCheckpoint()
+    model = F.broadcast(spark.read.parquet(model_path))
+
+    def _build_stateless() -> DataFrame:
+        gate_all = arr_all.select("doc_id", _gate_pass().alias("gate_pass"))
+        w_all = (
+            arr_all.select("doc_id", F.explode(_feats_col()).alias("feat"))
+            .select(
+                "doc_id",
+                (shared_hash64(F.col("feat")) % DSIR_BUCKETS).alias("bucket"),
+            )
+            .join(model, "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("w"))
+        )
+        return (
+            gate_all.join(w_all, "doc_id", "left")
+            .select(
+                "doc_id",
+                "gate_pass",
+                (
+                    F.coalesce(F.col("w"), F.lit(0).cast("decimal(18,9)"))
+                    >= 0
+                ).alias("dsir_pass"),
+            )
+            .localCheckpoint()
+        )
+
+    def _build_bands() -> DataFrame:
+        return (
+            sig_bands(minhash_sig_agg_df(arr_all.select("doc_id", "text")))
+            .select("doc_id", "band_id", "bucket")
+            .localCheckpoint()
+        )
+
+    def _build_cells() -> DataFrame:
+        # the ONLY evaluation of the 1024-literal centroid expression:
+        # probe cells land as DATA; the probe explode and the top-1
+        # assignment below are narrow transforms of this relation
+        return arr_vecs.select(
+            "doc_id", "embedding", "nrm", probe_cells.alias("cells")
+        ).localCheckpoint()
+
+    # the three precomputes are independent jobs — overlap them so the
+    # tail of one back-fills cores the others free (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as pool:
+        f_stateless = pool.submit(_build_stateless)
+        f_bands = pool.submit(_build_bands)
+        f_cells = pool.submit(_build_cells)
+        stateless_all = f_stateless.result()
+        bands_all = f_bands.result()
+        cells_all = f_cells.result()
+    probed_all = cells_all.select(
+        "doc_id", "embedding", "nrm", F.explode("cells").alias("p")
+    ).select(
+        "doc_id", "embedding", "nrm", F.col("p.cent_id").alias("cent_id")
+    )
+    assign_all = cells_all.select(
+        "doc_id",
+        F.element_at("cells", 1)["cent_id"].alias("cent_id"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    # the per-batch insertInto resolves its conf through the session
+    # of the DataFrame being written — which, with the hoisted
+    # drain-wide relations, is THIS session, not the foreachBatch
+    # clone. Static mode would overwrite the WHOLE table (corpus
+    # included) instead of exactly partition commit_batch=b.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     verdict_base = f"{state}/verdicts"
     ckpt = f"{state}/ckpt"
     if not os.path.isdir(ckpt):
@@ -594,44 +679,13 @@ def _quartet_drain_locked(
         s.catalog.refreshTable(vtbl)
         prof["refresh_s"] += time.monotonic() - t0
         t0 = time.monotonic()
-        # one-file micro-batch = one partition: fan out BEFORE the
-        # localCheckpoint so every downstream screen (md5 shingle
-        # fold, DSIR feature hash, probe joins) starts wide instead
-        # of single-task (see ingest_dedup.spread_batch)
-        b = spread_batch(batch_df).localCheckpoint()
+        # every per-doc screen input is precomputed drain-wide (see
+        # the batch-invariant block above); the fold only slices its
+        # batch out by doc_id and runs the two STATEFUL index probes
+        ids = batch_df.select("doc_id")
+        gd = stateless_all.join(F.broadcast(ids), "doc_id")
         prof["batch_s"] += time.monotonic() - t0
-        ids = b.select("doc_id")
-        gate = b.select("doc_id", _gate_pass().alias("gate_pass"))
-        model = F.broadcast(s.read.parquet(model_path))
-        w = (
-            b.select("doc_id", F.explode(_feats_col()).alias("feat"))
-            .select(
-                "doc_id",
-                (shared_hash64(F.col("feat")) % DSIR_BUCKETS).alias("bucket"),
-            )
-            .join(model, "bucket")
-            .groupBy("doc_id")
-            .agg(F.sum("c").alias("w"))
-        )
-        dsir = ids.join(w, "doc_id", "left").select(
-            "doc_id",
-            (
-                F.coalesce(F.col("w"), F.lit(0).cast("decimal(18,9)"))
-                >= 0
-            ).alias("dsir_pass"),
-        )
-        probed = (
-            ids.join(arr_vecs, "doc_id")
-            .select(
-                "doc_id",
-                "embedding",
-                "nrm",
-                F.explode(probe_cells).alias("p"),
-            )
-            .select(
-                "doc_id", "embedding", "nrm", F.col("p.cent_id").alias("cent_id")
-            )
-        )
+        probed = probed_all.join(F.broadcast(ids), "doc_id")
         # ANN index as of batch b = vector partitions with
         # commit_batch < b — partition PRUNING over the bucketed
         # cell-keyed table (round-13 verdict item 3: the flat vdelta
@@ -645,11 +699,7 @@ def _quartet_drain_locked(
             "doc_id", F.coalesce(~F.col("hit"), F.lit(True)).alias("ann_pass")
         )
         t0 = time.monotonic()
-        bands_b = (
-            sig_bands(minhash_sig_agg_df(b))
-            .select("doc_id", "band_id", "bucket")
-            .localCheckpoint()
-        )
+        bands_b = bands_all.join(F.broadcast(ids), "doc_id")
         prof["bands_s"] += time.monotonic() - t0
         flagged = (
             quartet_dup_probe_plan(s, bands_b, tbl, batch_id)
@@ -663,8 +713,7 @@ def _quartet_drain_locked(
         )
         t0 = time.monotonic()
         verdicts = (
-            gate.join(dsir, "doc_id")
-            .join(ann, "doc_id")
+            gd.join(ann, "doc_id")
             .join(dup, "doc_id")
             .select(
                 "doc_id",
@@ -681,13 +730,14 @@ def _quartet_drain_locked(
             )
             .localCheckpoint()
         )
-        verdicts.write.mode("overwrite").parquet(
-            f"{verdict_base}/b{batch_id}"
-        )
         prof["verdict_s"] += time.monotonic() - t0
-        # both folds are dynamic-partition-overwrite insertInto:
-        # commits EXACTLY partition commit_batch=b, bucketed,
-        # idempotent under micro-batch replay
+        # verdicts is checkpointed: the verdict-dir write and the two
+        # dynamic-partition-overwrite insertIntos (different tables)
+        # are three INDEPENDENT jobs over it — overlap them so one
+        # job's commit tail back-fills the others (guide §2.6). Each
+        # commits EXACTLY its own target (partition commit_batch=b,
+        # bucketed), idempotent under micro-batch replay; the kill
+        # drill below still fires only after all three are durable.
         adm_bands = bands_b.join(
             verdicts.where("admitted").select("doc_id"), "doc_id"
         ).select(
@@ -696,33 +746,56 @@ def _quartet_drain_locked(
             "bucket",
             F.lit(batch_id).alias("commit_batch"),
         )
-        t0 = time.monotonic()
-        (
-            adm_bands.repartition(INDEX_BUCKETS, "band_id", "bucket")
-            .write.mode("overwrite")
-            .insertInto(tbl)
-        )
-        prof["insert_bands_s"] += time.monotonic() - t0
         # admitted docs' vectors fold back at their TOP-1 IVF cell —
-        # the same rn=1 assignment the corpus index uses
+        # the same rn=1 assignment the corpus index uses (assign_all,
+        # precomputed drain-wide)
         adm_vecs = (
             verdicts.where("admitted")
             .select("doc_id")
-            .join(arr_vecs, "doc_id")
+            .join(assign_all, "doc_id")
             .select(
-                top1_cell.alias("cent_id"),
-                F.col("embedding").alias("c_embedding"),
-                F.col("nrm").alias("c_nrm"),
+                "cent_id",
+                "c_embedding",
+                "c_nrm",
                 F.lit(batch_id).alias("commit_batch"),
             )
         )
-        t0 = time.monotonic()
-        (
-            adm_vecs.repartition(INDEX_BUCKETS, "cent_id")
-            .write.mode("overwrite")
-            .insertInto(vtbl)
-        )
-        prof["insert_vecs_s"] += time.monotonic() - t0
+
+        def _write_verdicts() -> None:
+            t0 = time.monotonic()
+            verdicts.write.mode("overwrite").parquet(
+                f"{verdict_base}/b{batch_id}"
+            )
+            prof["verdict_s"] += time.monotonic() - t0
+
+        def _insert_bands() -> None:
+            t0 = time.monotonic()
+            (
+                adm_bands.repartition(INDEX_BUCKETS, "band_id", "bucket")
+                .write.mode("overwrite")
+                .insertInto(tbl)
+            )
+            prof["insert_bands_s"] += time.monotonic() - t0
+
+        def _insert_vecs() -> None:
+            t0 = time.monotonic()
+            (
+                adm_vecs.repartition(INDEX_BUCKETS, "cent_id")
+                .write.mode("overwrite")
+                .insertInto(vtbl)
+            )
+            prof["insert_vecs_s"] += time.monotonic() - t0
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(3) as pool:
+            futs = [
+                pool.submit(_write_verdicts),
+                pool.submit(_insert_bands),
+                pool.submit(_insert_vecs),
+            ]
+            for f in futs:
+                f.result()
         prof["batches"] += 1
         LAST_QUARTET_PROFILE.update(
             {k: round(v, 3) if isinstance(v, float) else v for k, v in prof.items()}

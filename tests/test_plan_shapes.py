@@ -710,24 +710,34 @@ def test_bucketed_admit_probe_only_batch_side_shuffles(spark):
     PARTITIONED + bucketed admit table: partition pruning keeps only
     commits < b, the index FileScan feeds the sort-merge join
     directly off its bucket files, and the only exchange is the
-    (small) batch side's band rows."""
+    (small) batch side's band rows. Mirrors the production fold after
+    the round-14 hoist: band rows come from the drain-wide
+    drain_bands relation sliced by the batch's doc_ids."""
+    from pyspark.sql import functions as F
+
     from sfdc_cdc_aws_spark.plans.introspect import plan_string
     from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
         admit_bkt_probe_plan,
+        drain_bands,
         ensure_admit_bkt_table,
-        ensure_doc_landing,
+        ensure_admit_landing,
     )
 
     tbl = ensure_admit_bkt_table(spark, SF)
-    batch = spark.read.parquet(ensure_doc_landing(spark, SF))
-    probe = admit_bkt_probe_plan(spark, batch, tbl, batch_id=2)
+    landing = ensure_admit_landing(spark, SF)
+    bands_all = drain_bands(spark, landing)
+    batch = spark.read.parquet(landing + "/b0")
+    bands_b = bands_all.join(
+        F.broadcast(batch.select("doc_id")), "doc_id"
+    )
+    probe = admit_bkt_probe_plan(spark, bands_b, tbl, batch_id=2)
     probe.count()
-    # TWO batch-side exchanges: the signature hash-aggregate's
-    # (doc_id — carries ~1 row/doc after map-side partial agg; the
-    # price of minhash_sig_agg_df's 10x codegen win) and the band
-    # rows' for the sort-merge join. Still ZERO on the index side —
-    # that is the contract this test exists to pin.
-    assert exchange_count(probe) == 2
+    # ONE batch-side shuffle exchange: the band rows' for the
+    # sort-merge join (the signature fold is hoisted out of the
+    # per-batch path — drain_bands — and the doc_id slice is a
+    # broadcast join). Still ZERO on the index side — that is the
+    # contract this test exists to pin.
+    assert exchange_count(probe) == 1
     plan = plan_string(probe)
     assert "SortMergeJoin" in plan
     # partition pruning reaches the scan: the index "as of" batch 2
