@@ -460,12 +460,18 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtrees."""
     from sfdc_cdc_aws_spark.operators.dedup import minhash_lsh_dedup
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        F.size(tokens_col()).alias("n_tok"),
+    # narrow per-doc relation (5 scalar columns): truncate so the
+    # tokenize-and-count scan runs ONCE — it feeds the flags relation
+    # AND both sides of the gated-pair filter below, and Catalyst
+    # re-executes the scan+split per consumer (guide §2.4)
+    d = truncate_lineage(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.size(tokens_col()).alias("n_tok"),
+        )
     )
     f2_pred = (
         (F.col("lang") == "en")
@@ -492,8 +498,16 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("source").orderBy(
         F.col("f3").desc(), h, "doc_id"
     )
+    # pin the window's exchange at the session's parallelism: AQE
+    # coalesces the small post-join shuffle to ONE partition, which
+    # serializes the whole flags pipeline into a single task (guide
+    # §2.5/§2.6 — measured 1.4 s serial at sf0.1); an explicit width
+    # on the same key is the exchange the window needs anyway, and
+    # defaultParallelism is scale-adaptive, not a local constant
+    dp = spark.sparkContext.defaultParallelism
     flags = (
-        d.withColumn("f1", F.col("lang") == "en")
+        d.repartition(dp, "source")
+        .withColumn("f1", F.col("lang") == "en")
         .withColumn("f2", f2_pred)
         .join(drop.withColumn("_dropped", F.lit(True)), "doc_id", "left")
         .withColumn("f3", F.col("f2") & F.col("_dropped").isNull())
@@ -547,7 +561,11 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f5").desc(), h, "doc_id"
     )
     staged = (
-        flags.withColumn(
+        # same pinning as w_rank: the truncate above erased the
+        # partitioning, and AQE would coalesce w_cum's exchange to one
+        # serial task
+        flags.repartition(dp, "source")
+        .withColumn(
             "cum",
             F.sum(F.when(F.col("f5"), F.col("n_tok")).otherwise(0)).over(
                 w_cum

@@ -207,7 +207,19 @@ def minhash_signatures(
         minhash_sig_agg_df(
             load_table(spark, sf_dir, "documents", widen=True)
         ).write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
+    sigs = spark.read.parquet(out)
+    # a small cache lands as one file, and file packing
+    # (maxPartitionBytes/openCost) keeps even a multi-file cache in
+    # one scan split — so every consumer's band explode ran as ONE
+    # task with the other cores idle (guide §2.6; measured 1.4 s
+    # serial inside curation_funnel_report's pair leg at sf0.1).
+    # Hash-spread on doc_id when the scan is narrower than the
+    # session's parallelism; at scale the scan is already wide and
+    # this is a no-op, so no shuffle is added where it would hurt.
+    par = spark.sparkContext.defaultParallelism
+    if sigs.rdd.getNumPartitions() < par:
+        sigs = sigs.repartition(par, "doc_id")
+    return sigs
 
 
 def sig_bands(sig_df: DataFrame) -> DataFrame:

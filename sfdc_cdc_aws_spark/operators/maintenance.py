@@ -422,7 +422,6 @@ def compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     li = load_table(spark, sf_dir, "lineitem")
-    plan = compaction_bin_pack(spark, sf_dir)  # bin_id, first/last part
     parts = li.groupBy(
         F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("part_key")
     ).agg(F.count("*").alias("n_rows"))
@@ -430,12 +429,19 @@ def compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = parts.withColumn(
         "start_off", F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("bigint")
     )
-    bins = offs.select(
+    # the bin relation is metadata-scale (one row per date partition):
+    # collect it ONCE as a bounded side input and reuse it for both
+    # the broadcast assignment AND the bin count — the old shape ran
+    # compaction_bin_pack a second time (another full lineitem
+    # scan+aggregate) just to count the bins (guide §2.4)
+    bin_rows = offs.select(
         "part_key",
-        F.floor(F.col("start_off").cast("double") / COMPACT_TARGET_ROWS).alias(
-            "bin_id"
-        ),
-    )
+        F.floor(F.col("start_off").cast("double") / COMPACT_TARGET_ROWS)
+        .cast("bigint")
+        .alias("bin_id"),
+    ).collect()
+    bins = spark.createDataFrame(bin_rows, "part_key string, bin_id bigint")
+    n_bins = len({r["bin_id"] for r in bin_rows})
     assigned = li.withColumn(
         "part_key", F.substring(F.col("l_shipdate").cast("string"), 1, 7)
     ).join(F.broadcast(bins), "part_key")
@@ -447,7 +453,6 @@ def compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("bin_id")
         .parquet(out)
     )
-    n_bins = plan.count()
     n_files = sum(
         1
         for root, _dirs, files in os.walk(out)
