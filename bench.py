@@ -83,10 +83,17 @@ STDOUT_QUERY_BUDGET = 1500  # chars for the "queries" object
 
 
 def build_stdout_line(
-    timings: dict[str, float], sf: float, total: float, master: str
+    timings: dict[str, float],
+    sf: float,
+    total: float,
+    master: str,
+    prewarm_sec: float = 0.0,
 ) -> str:
     """The single driver-parseable stdout line: headline queries
-    first, then alphabetical fill, truncated to the char budget."""
+    first, then alphabetical fill, truncated to the char budget.
+    ``prewarm_sec`` is the UNTIMED ensure_* fixture-materialization
+    cost (round-14 verdict item 8: the driver captures it per run so
+    the key walls + prewarm accounting stays auditable)."""
     headline: dict[str, float] = {}
     used = 2
     for name in HEADLINE_ORDER + sorted(set(timings) - set(HEADLINE_ORDER)):
@@ -108,6 +115,7 @@ def build_stdout_line(
             "n_reported": len(headline),
             "full": "BENCH_FULL.json",
             "master": master,
+            "prewarm_sec": prewarm_sec,
         },
         separators=(",", ":"),
     )
@@ -176,7 +184,11 @@ def main() -> None:
         )
         f.write("\n")
 
-    print(build_stdout_line(timings, sf, total, spark.sparkContext.master))
+    print(
+        build_stdout_line(
+            timings, sf, total, spark.sparkContext.master, prewarm_total
+        )
+    )
 
 
 if __name__ == "__main__":

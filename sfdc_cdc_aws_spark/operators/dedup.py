@@ -43,6 +43,18 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 # produce, so oracles are unaffected at every test SF
 MINHASH_BUCKET_CAP = 512
 
+# bytes of materialized signatures per partition when spreading the
+# signature-cache read (minhash_signatures): the consumer-side band
+# explode is cheap integer/array work, so a partition per ~4 MB keeps
+# tasks meaningful instead of scheduling 32 crumbs (round-14's
+# unconditional spread — see minhash_signatures). Env-overridable so a
+# cluster deployment can tune bytes-per-task without a code change.
+import os as _os
+
+_SIG_SPREAD_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_SIG_SPREAD_BYTES", str(4 << 20))
+)
+
 
 def _spark_hash31(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % P31
@@ -211,15 +223,47 @@ def minhash_signatures(
     # a small cache lands as one file, and file packing
     # (maxPartitionBytes/openCost) keeps even a multi-file cache in
     # one scan split — so every consumer's band explode ran as ONE
-    # task with the other cores idle (guide §2.6; measured 1.4 s
-    # serial inside curation_funnel_report's pair leg at sf0.1).
-    # Hash-spread on doc_id when the scan is narrower than the
-    # session's parallelism; at scale the scan is already wide and
-    # this is a no-op, so no shuffle is added where it would hurt.
-    par = spark.sparkContext.defaultParallelism
-    if sigs.rdd.getNumPartitions() < par:
-        sigs = sigs.repartition(par, "doc_id")
+    # task with the other cores idle (guide §2.6). Round-15
+    # recalibration (round-14 verdict item 1): the round-14 spread
+    # was UNCONDITIONALLY to defaultParallelism, which widened this
+    # ~340 KB relation to 32 partitions and multiplied task-scheduling
+    # cost across every stage of its consumers' fixpoints (driver:
+    # dedup_clusters 2.80→7.41 s, contamination_check 1.63→3.34 s —
+    # both 2× over their 7-run variance bands). Width now derives
+    # from the cache's on-disk bytes (no df.rdd.getNumPartitions()
+    # plan analysis on the consumer path): ~one partition per
+    # _SIG_SPREAD_BYTES of signatures, capped at the session's
+    # parallelism, and only when that exceeds the scan's own split
+    # count — so a tiny relation stays narrow, a mid-size one spreads,
+    # and a production-scale multi-file cache (already wide) adds no
+    # shuffle at all.
+    n_files, total_bytes = 0, 0
+    for fname in os.listdir(out):
+        if fname.endswith(".parquet"):
+            n_files += 1
+            total_bytes += os.path.getsize(os.path.join(out, fname))
+    width = _sig_spread_width(
+        total_bytes, n_files, spark.sparkContext.defaultParallelism
+    )
+    if width > 1:
+        sigs = sigs.repartition(width, "doc_id")
     return sigs
+
+
+def _sig_spread_width(total_bytes: int, n_files: int, par: int) -> int:
+    """Partitions the signature-cache read should be spread to, or 1
+    for "leave the scan alone". Byte-derived (one partition per
+    _SIG_SPREAD_BYTES, capped at the session parallelism) and engaged
+    only when it exceeds the scan's own estimated split count — splits
+    ≈ ceil(packed bytes / maxPartitionBytes) with each file charged
+    openCostInBytes (4 MB), the same packing math the file source
+    uses, computed from the listing instead of a plan analysis."""
+    width = min(par, max(1, total_bytes // _SIG_SPREAD_BYTES))
+    est_scan_parts = max(
+        1,
+        min(n_files, -(-(total_bytes + n_files * (4 << 20)) // (128 << 20))),
+    )
+    return width if width > est_scan_parts else 1
 
 
 def sig_bands(sig_df: DataFrame) -> DataFrame:

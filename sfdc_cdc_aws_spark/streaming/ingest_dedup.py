@@ -239,8 +239,14 @@ def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_bands"))
     )
     # complete mode: the last data batch already emitted the full state
+    from sfdc_cdc_aws_spark.streaming.job import drain_state_width
+
     return run_available_now(
-        matches, "minhash_ingest", output_mode="complete", no_data_batch=False
+        matches,
+        "minhash_ingest",
+        output_mode="complete",
+        shuffle_partitions=drain_state_width(spark, landing),
+        no_data_batch=False,
     )
 
 def ensure_band_delta(
@@ -1214,8 +1220,12 @@ def _admit_drain_bucketed_locked(
     # of the DataFrame being written — which, with the hoisted
     # drain-wide relations, is THIS session, not the foreachBatch
     # clone. Static mode would overwrite the WHOLE table (corpus
-    # included) instead of exactly partition commit_batch=b.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # included) instead of exactly partition commit_batch=b. Scoped
+    # to the drain: restored in the finally below so the session-
+    # global overwrite semantics don't leak into later queries.
+    _POM = "spark.sql.sources.partitionOverwriteMode"
+    old_pom = spark.conf.get(_POM, "static")
+    spark.conf.set(_POM, "dynamic")
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch runs in a CLONED session whose catalog relation
@@ -1338,6 +1348,7 @@ def _admit_drain_bucketed_locked(
         # the killed run's checkpoint, verdicts, and committed
         # partitions persist and the next invocation resumes (the
         # caller's finally closes the flock fd)
+        spark.conf.set(_POM, old_pom)
         if not keep_state:
             shutil.rmtree(state, ignore_errors=True)
             reset_admit_partitions(spark, tbl)

@@ -639,8 +639,12 @@ def _quartet_drain_locked(
     # of the DataFrame being written — which, with the hoisted
     # drain-wide relations, is THIS session, not the foreachBatch
     # clone. Static mode would overwrite the WHOLE table (corpus
-    # included) instead of exactly partition commit_batch=b.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # included) instead of exactly partition commit_batch=b. Scoped
+    # to the drain: restored in the finally below so the session-
+    # global overwrite semantics don't leak into later queries.
+    _POM = "spark.sql.sources.partitionOverwriteMode"
+    old_pom = spark.conf.get(_POM, "static")
+    spark.conf.set(_POM, "dynamic")
     verdict_base = f"{state}/verdicts"
     ckpt = f"{state}/ckpt"
     if not os.path.isdir(ckpt):
@@ -847,6 +851,7 @@ def _quartet_drain_locked(
         # the killed run's checkpoint, verdicts, and committed
         # partitions persist and the next invocation resumes (the
         # caller's finally closes the flock fd)
+        spark.conf.set(_POM, old_pom)
         if not keep_state:
             t_cl = time.monotonic()
             shutil.rmtree(state, ignore_errors=True)

@@ -130,12 +130,17 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over that harvest.
     from sfdc_cdc_aws_spark.streaming.job import (
         LAST_DRAIN_OBSERVED,
+        drain_state_width,
         run_available_now,
     )
 
     # complete mode: the last data batch already emitted the full state
     result = run_available_now(
-        gated, "quality_gate", output_mode="complete", no_data_batch=False
+        gated,
+        "quality_gate",
+        output_mode="complete",
+        shuffle_partitions=drain_state_width(spark, landing),
+        no_data_batch=False,
     )
     obs = LAST_DRAIN_OBSERVED.get("quality_gate", {})
     n_in = int(obs.get("quality_gate.n_in", 0))

@@ -23,12 +23,17 @@ def _fake_timings(names) -> dict[str, float]:
 
 def test_stdout_line_fits_driver_window_at_current_size():
     names = sorted(load_all())
-    line = build_stdout_line(_fake_timings(names), 0.1, 123456.789, "local[32]")
+    line = build_stdout_line(
+        _fake_timings(names), 0.1, 123456.789, "local[32]", 9999.123
+    )
     assert len(line.encode()) < DRIVER_STDOUT_WINDOW
     parsed = json.loads(line)
     assert parsed["metric"] == "total_query_wall_sec"
     assert parsed["n_queries"] == len(names)
     assert parsed["full"] == "BENCH_FULL.json"
+    # round-14 verdict item 8: the untimed ensure_* prewarm cost is on
+    # the contract line so the driver captures it per run
+    assert parsed["prewarm_sec"] == 9999.123
 
 
 def test_stdout_line_fits_even_at_10x_registry():

@@ -217,3 +217,45 @@ def test_cc_label_merge_never_splits(spark):
         old_to_new.setdefault(old, set()).add(merged[doc])
         assert merged[doc] <= old, "a label increased under merge"
     assert all(len(v) == 1 for v in old_to_new.values()), "a cluster split"
+
+
+def test_drain_restores_partition_overwrite_mode(spark):
+    """The drains need dynamic partitionOverwriteMode on the OUTER
+    session while their per-batch insertInto folds run (the hoisted
+    relations resolve the conf through it) — but the set must not
+    leak: a later query in the same session relying on static
+    overwrite semantics would silently inherit dynamic (round-14
+    verdict item 6). The conf must come back to its pre-drain value
+    on the success path."""
+    from sfdc_cdc_aws_spark.streaming.ingest_dedup import (
+        stream_dedup_admit_bucketed,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, "static")
+    assert before.lower() == "static"  # the session default
+    stream_dedup_admit_bucketed(spark, SF).collect()
+    assert spark.conf.get(key, "static") == before
+
+
+def test_sig_spread_width_calibration():
+    """Byte-derived signature-cache spread (round-14 verdict item 1):
+    tiny caches stay narrow (the round-14 unconditional 32-way spread
+    multiplied scheduling cost across dedup_clusters' fixpoint), a
+    mid-size single-file cache spreads proportionally to bytes, and a
+    production multi-file cache that is already wide adds no shuffle."""
+    from sfdc_cdc_aws_spark.operators.dedup import (
+        _SIG_SPREAD_BYTES,
+        _sig_spread_width,
+    )
+
+    par = 32
+    # sf0.1-sized cache (~340 KB, one file): leave the scan alone
+    assert _sig_spread_width(340 << 10, 1, par) == 1
+    # mid-size single-file cache: one partition per _SIG_SPREAD_BYTES
+    assert _sig_spread_width(8 * _SIG_SPREAD_BYTES, 1, par) == 8
+    # beyond parallelism: capped at the session's width
+    assert _sig_spread_width(1000 * _SIG_SPREAD_BYTES, 1, par) == par
+    # production-scale multi-file cache: the scan is already at least
+    # as wide as the cap — no repartition
+    assert _sig_spread_width(100 * (256 << 20), 100, par) == 1
