@@ -339,10 +339,22 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks the increment, not the view; only the first epoch ever
     pays the A_old ⋈ B_old full join. Plan: all four joins shuffle on
     the same uid key, so AQE coalesces them into one co-partitioned
-    stage family."""
-    ch = changes(spark, sf_dir)
+    stage family. The parsed CREATE/UPDATE slice is lineage-truncated
+    ONCE (round-15, guide §2.4): without the cut, each of the four
+    union terms embeds its own copy of the change-feed parse subtree
+    — 8 executions of the events scan+parse for one narrow relation's
+    worth of data, and a 2× plan for the optimizer to chew on."""
+    from sfdc_cdc_aws_spark.session import truncate_lineage
+
+    ch = truncate_lineage(
+        changes(spark, sf_dir)
+        .where(F.col("change_type").isin("CREATE", "UPDATE"))
+        .select("uid", "replay_id", "commit_ts_ms", "change_type")
+    )
     a = ch.where(F.col("change_type") == "CREATE").select(
-        "uid", F.col("replay_id").alias("a_replay"), F.col("commit_ts_ms").alias("a_ms")
+        "uid",
+        F.col("replay_id").alias("a_replay"),
+        F.col("commit_ts_ms").alias("a_ms"),
     )
     b = ch.where(F.col("change_type") == "UPDATE").select(
         F.col("uid").alias("b_uid"),
