@@ -22,6 +22,8 @@ Scale design notes, since dedup is the classic 100 TB trap:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,10 +51,8 @@ MINHASH_BUCKET_CAP = 512
 # tasks meaningful instead of scheduling 32 crumbs (round-14's
 # unconditional spread — see minhash_signatures). Env-overridable so a
 # cluster deployment can tune bytes-per-task without a code change.
-import os as _os
-
 _SIG_SPREAD_BYTES = int(
-    _os.environ.get("SPARK_GRAFT_SIG_SPREAD_BYTES", str(4 << 20))
+    os.environ.get("SPARK_GRAFT_SIG_SPREAD_BYTES", str(4 << 20))
 )
 
 
@@ -205,8 +205,6 @@ def minhash_signatures(
     name makes a corpus refresh rebuild instead of serving stale
     signatures; streaming arrivals still compute theirs inline
     (minhash_sig_df works on unbounded inputs)."""
-    import os
-
     from sfdc_cdc_aws_spark.sources.tables import table_path
 
     st = os.stat(table_path(sf_dir, "documents"))
